@@ -21,7 +21,7 @@ def test_read_one_parity(reference_inputs):
     assert rec.read1 == (b"CCGCCCTAGCCAGGAGAGAAGCACTTCTTACCTGGGTTTCTTAGAGGCTTTGGCTGGCAAT"
                          b"ATTGTCAGCACCAGAGAGGACTTCTCGATGGCTGA")
     assert rec.read_qual1 == (b"BFFFFFFFFFFIIIIIFFIIIIIIIIFIIIIIFIFIFFIIFIIIIIII"
-                              b"IIIIIIIIIFFFFFFFFFFFFFFFFFFFBFFFFFFFFFFFFFFFFFFFF")
+                              b"IIIIIIIIFFFFFFFFFFFFFFFFFFFBFFFFFFFFFFFFFFFFFFFF")
     assert rec.read2.startswith(b"GTGGTAGTCTCCTGTTCAGCCATCGAGAAGTCCTCTCTGGTGCTGAC")
     assert rec.barcode10x == b"AAACAGAGAAAGAT"
     assert rec.barcode10x_qual == b"BBBFFFFFFFFFFI"
