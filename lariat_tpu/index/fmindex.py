@@ -1,0 +1,424 @@
+"""FMD-index: 2-bit genome, BWT, occ checkpoints, sampled suffix array.
+
+The index layout matches the semantics the reference's native engine consumes
+via ``bwa_idx_load`` (reference ``go/src/gobwa/gobwa.go:128-147``):
+
+- text T = forward genome ++ reverse-complement (length ``seq_len = 2*l_pac``),
+  suffix array over T$ with the sentinel row removed from the physical BWT and
+  remembered as ``primary``;
+- ``L2[c]`` cumulative base counts, ``occ`` rank checkpoints, suffix-array
+  samples every ``sa_intv`` rows;
+- ambiguous FASTA bases are replaced by pseudo-random bases from an LCG seeded
+  with 11 (drand48 semantics), and recorded as amb regions, reproducing the
+  native index builder's behavior so scores match on N-containing genomes.
+
+Can also load an existing BWA-format index (``.pac/.ann/.amb/.bwt/.sa``) so
+users of the reference can reuse their prebuilt genome indexes directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import suffix
+
+OCC_INTERVAL = 128
+SA_INTERVAL = 32
+
+# base codes: A=0 C=1 G=2 T=3, anything else 4 (nst_nt4 semantics)
+NT4_TABLE = np.full(256, 4, dtype=np.uint8)
+for _i, _b in enumerate(b"ACGT"):
+    NT4_TABLE[_b] = _i
+    NT4_TABLE[ord(chr(_b).lower())] = _i
+
+
+@dataclasses.dataclass
+class Contig:
+    name: str
+    offset: int
+    length: int
+
+
+@dataclasses.dataclass
+class AmbRegion:
+    offset: int
+    length: int
+    base: str
+
+
+class Drand48:
+    """drand48-family LCG; bwa seeds it with 11 for ambiguous-base fill."""
+
+    A = 0x5DEECE66D
+    C = 0xB
+    MASK = (1 << 48) - 1
+
+    def __init__(self, seed: int = 11):
+        self.x = ((seed << 16) | 0x330E) & self.MASK
+
+    def lrand48(self) -> int:
+        self.x = (self.A * self.x + self.C) & self.MASK
+        return self.x >> 17
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """Pack base codes (0..3) 4-per-byte, first base in the high bits."""
+    n = len(codes)
+    padded = np.zeros((n + 3) // 4 * 4, dtype=np.uint8)
+    padded[:n] = codes
+    q = padded.reshape(-1, 4)
+    return (q[:, 0] << 6 | q[:, 1] << 4 | q[:, 2] << 2 | q[:, 3]).astype(np.uint8)
+
+
+def unpack_2bit(pac: np.ndarray, n: int) -> np.ndarray:
+    q = np.empty((len(pac), 4), dtype=np.uint8)
+    q[:, 0] = pac >> 6
+    q[:, 1] = (pac >> 4) & 3
+    q[:, 2] = (pac >> 2) & 3
+    q[:, 3] = pac & 3
+    return q.reshape(-1)[:n]
+
+
+class FMIndex:
+    """Host-side FMD index with bwa-convention rank/SA operations."""
+
+    def __init__(self, *, l_pac: int, primary: int, L2: np.ndarray,
+                 bwt_codes: np.ndarray, sa_intv: int, sa_samples: np.ndarray,
+                 pac: np.ndarray, contigs: List[Contig],
+                 ambs: Optional[List[AmbRegion]] = None):
+        self.l_pac = int(l_pac)
+        self.seq_len = 2 * self.l_pac
+        self.primary = int(primary)
+        self.L2 = np.asarray(L2, dtype=np.int64)          # length 5 cumulative
+        self.bwt_codes = np.asarray(bwt_codes, dtype=np.uint8)  # physical BWT
+        self.sa_intv = int(sa_intv)
+        self.sa_samples = np.asarray(sa_samples, dtype=np.int64)
+        self.pac = np.asarray(pac, dtype=np.uint8)        # forward 2-bit packed
+        self.contigs = contigs
+        self.ambs = ambs or []
+        self.name_to_tid = {c.name: i for i, c in enumerate(contigs)}
+        # occ checkpoints every OCC_INTERVAL bases over the physical BWT
+        onehot_sums = _blocked_counts(self.bwt_codes, OCC_INTERVAL)
+        self.occ_ckpt = onehot_sums  # int64[(nblocks+1), 4]: counts before block
+
+    # ---------------- rank / search primitives (bwa conventions) -----------
+
+    def occ(self, k, c) -> int:
+        """Count of code c in physical BWT rows [0..k] of the rotation matrix.
+
+        k is a row index in the (seq_len+1)-row matrix; k may be -1 (returns
+        0) or seq_len (returns total). Handles the removed sentinel row.
+        """
+        if k == self.seq_len:
+            return int(self.L2[c + 1] - self.L2[c])
+        if k < 0:
+            return 0
+        k = int(k)
+        if k >= self.primary:
+            k -= 1
+        blk, rem = divmod(k + 1, OCC_INTERVAL)
+        base = int(self.occ_ckpt[blk, c])
+        if rem:
+            start = blk * OCC_INTERVAL
+            base += int(np.count_nonzero(self.bwt_codes[start:start + rem] == c))
+        return base
+
+    def occ4(self, k) -> np.ndarray:
+        """occ for all four codes at once."""
+        if k == self.seq_len:
+            return (self.L2[1:5] - self.L2[0:4]).astype(np.int64)
+        if k < 0:
+            return np.zeros(4, dtype=np.int64)
+        k = int(k)
+        if k >= self.primary:
+            k -= 1
+        blk, rem = divmod(k + 1, OCC_INTERVAL)
+        out = self.occ_ckpt[blk].copy()
+        if rem:
+            start = blk * OCC_INTERVAL
+            seg = self.bwt_codes[start:start + rem]
+            out += np.bincount(seg, minlength=4).astype(np.int64)
+        return out
+
+    def backward_ext(self, k: int, l: int, c: int) -> Tuple[int, int]:
+        """One backward-search step; interval [k, l] inclusive, empty if k>l."""
+        nk = int(self.L2[c]) + self.occ(k - 1, c) + 1
+        nl = int(self.L2[c]) + self.occ(l, c)
+        return nk, nl
+
+    def sa_lookup(self, k: int) -> int:
+        """Text position of the suffix at row k (bwt_sa semantics)."""
+        steps = 0
+        while k % self.sa_intv != 0:
+            steps += 1
+            k = self.lf(k)
+        # sa_samples[0] is -1 by convention: a walk that wraps through the
+        # sentinel row accumulates one extra step which the -1 cancels.
+        return int(self.sa_samples[k // self.sa_intv]) + steps
+
+    def lf(self, k: int) -> int:
+        """LF mapping / bwt_invPsi: row of the suffix starting one base earlier."""
+        if k == self.primary:
+            return 0
+        kx = k - 1 if k > self.primary else k
+        c = int(self.bwt_codes[kx])
+        return int(self.L2[c]) + self.occ(k, c)
+
+    # ---------------- sequence fetch ---------------------------------------
+
+    def get_seq_codes(self, start: int, end: int) -> np.ndarray:
+        """Base codes of the forward pac in global coords [start, end)."""
+        start = max(0, int(start))
+        end = min(self.l_pac, int(end))
+        if end <= start:
+            return np.zeros(0, dtype=np.uint8)
+        first_byte = start // 4
+        last_byte = (end + 3) // 4
+        codes = unpack_2bit(self.pac[first_byte:last_byte],
+                            (last_byte - first_byte) * 4)
+        return codes[start - first_byte * 4: start - first_byte * 4 + (end - start)]
+
+    def fetch_fmd(self, start: int, end: int) -> np.ndarray:
+        """Base codes of the doubled (FMD) text for [start, end), clamped.
+
+        Positions >= l_pac map to the reverse-complement strand, mirroring
+        bns_fetch_seq over the doubled coordinate space (gobwa.go:50-80).
+        """
+        start, end = int(start), int(end)
+        start = max(0, start)
+        end = min(self.seq_len, end)
+        if end <= start:
+            return np.zeros(0, dtype=np.uint8)
+        if end <= self.l_pac:
+            return self.get_seq_codes(start, end)
+        if start >= self.l_pac:
+            fwd = self.get_seq_codes(self.seq_len - end, self.seq_len - start)
+            return (3 - fwd)[::-1].copy()
+        raise ValueError("fetch_fmd range crosses the strand boundary")
+
+    def get_seq(self, chrom: str, start: int, end: int, reversed_: bool) -> bytes:
+        """ASCII sequence of contig [start, end), revcomp when reversed_.
+
+        Mirrors GoBwaReference.GetSeq (gobwa.go:50-80).
+        """
+        tid = self.name_to_tid[chrom]
+        off = self.contigs[tid].offset
+        codes = self.get_seq_codes(off + start, off + end)
+        if reversed_:
+            return bytes(b"TGCA"[c] for c in (codes[::-1]))
+        return bytes(b"ACGT"[c] for c in codes)
+
+    def pos_to_contig(self, pos: int) -> int:
+        """tid for a forward-strand global position."""
+        offs = [c.offset for c in self.contigs]
+        return int(np.searchsorted(offs, pos, side="right") - 1)
+
+    # ---------------- persistence -------------------------------------------
+
+    def save(self, prefix: str) -> None:
+        np.savez_compressed(
+            prefix + ".lariat.npz",
+            l_pac=self.l_pac, primary=self.primary, L2=self.L2,
+            bwt_codes=self.bwt_codes, sa_intv=self.sa_intv,
+            sa_samples=self.sa_samples, pac=self.pac,
+            contig_names=np.array([c.name for c in self.contigs]),
+            contig_offsets=np.array([c.offset for c in self.contigs]),
+            contig_lengths=np.array([c.length for c in self.contigs]),
+            amb_offsets=np.array([a.offset for a in self.ambs], dtype=np.int64),
+            amb_lengths=np.array([a.length for a in self.ambs], dtype=np.int64),
+            amb_bases=np.array([a.base for a in self.ambs]))
+
+    @classmethod
+    def load(cls, prefix: str) -> "FMIndex":
+        z = np.load(prefix + ".lariat.npz", allow_pickle=False)
+        contigs = [Contig(str(n), int(o), int(L)) for n, o, L in zip(
+            z["contig_names"], z["contig_offsets"], z["contig_lengths"])]
+        ambs = [AmbRegion(int(o), int(L), str(b)) for o, L, b in zip(
+            z["amb_offsets"], z["amb_lengths"], z["amb_bases"])]
+        return cls(l_pac=int(z["l_pac"]), primary=int(z["primary"]),
+                   L2=z["L2"], bwt_codes=z["bwt_codes"],
+                   sa_intv=int(z["sa_intv"]), sa_samples=z["sa_samples"],
+                   pac=z["pac"], contigs=contigs, ambs=ambs)
+
+
+def _blocked_counts(codes: np.ndarray, interval: int) -> np.ndarray:
+    """Per-code counts before each interval block (plus final total row)."""
+    n = len(codes)
+    nblocks = (n + interval - 1) // interval
+    out = np.zeros((nblocks + 1, 4), dtype=np.int64)
+    if n == 0:
+        return out
+    pad = np.full(nblocks * interval, 255, dtype=np.uint8)
+    pad[:n] = codes
+    for c in range(4):
+        blocked = (pad == c).reshape(nblocks, interval).sum(axis=1, dtype=np.int64)
+        out[1:, c] = np.cumsum(blocked)
+    return out
+
+
+# ---------------------------- FASTA parsing ---------------------------------
+
+def parse_fasta(path: str):
+    """Yield (name, sequence_bytes) per contig; name = first header word."""
+    name = None
+    chunks: List[bytes] = []
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(b">"):
+                if name is not None:
+                    yield name, b"".join(chunks)
+                name = line[1:].split()[0].decode()
+                chunks = []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        yield name, b"".join(chunks)
+
+
+def encode_genome(path: str):
+    """FASTA -> (codes uint8, contigs, ambs) with bwa amb randomization."""
+    rng = Drand48(11)
+    contigs: List[Contig] = []
+    ambs: List[AmbRegion] = []
+    parts: List[np.ndarray] = []
+    offset = 0
+    for name, seq in parse_fasta(path):
+        raw = NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
+        codes = raw.copy()
+        amb_mask = raw >= 4
+        if amb_mask.any():
+            idxs = np.nonzero(amb_mask)[0]
+            # record amb runs of the same source character, bwa-style
+            chars = np.frombuffer(seq, dtype=np.uint8)[idxs]
+            run_start = 0
+            for j in range(1, len(idxs) + 1):
+                if (j == len(idxs) or idxs[j] != idxs[j - 1] + 1
+                        or chars[j] != chars[j - 1]):
+                    ambs.append(AmbRegion(offset + int(idxs[run_start]),
+                                          int(j - run_start),
+                                          chr(chars[run_start])))
+                    run_start = j
+            for i in idxs:
+                codes[i] = rng.lrand48() & 3
+        parts.append(codes)
+        contigs.append(Contig(name, offset, len(codes)))
+        offset += len(codes)
+    return (np.concatenate(parts) if parts else
+            np.zeros(0, dtype=np.uint8)), contigs, ambs
+
+
+def build_index(fasta_path: str, sa_intv: int = SA_INTERVAL) -> FMIndex:
+    """Build the FMD index from a FASTA (offline tool path)."""
+    fwd, contigs, ambs = encode_genome(fasta_path)
+    l_pac = len(fwd)
+    text = np.concatenate([fwd, (3 - fwd)[::-1]])
+    seq_len = len(text)
+    # SA over T$ with sentinel: shift codes +1, sentinel 0
+    with_sent = np.empty(seq_len + 1, dtype=np.uint8)
+    with_sent[:seq_len] = text + 1
+    with_sent[seq_len] = 0
+    sa = suffix.suffix_array(with_sent, 5)  # length seq_len+1; sa[0]=seq_len
+    # BWT of rows: char before suffix start; sentinel row (suffix start 0)
+    primary = int(np.nonzero(sa == 0)[0][0])
+    bwt_rows = text[(sa - 1)]  # value at sa==0 row is garbage (text[-1])
+    bwt_codes = np.delete(bwt_rows, primary)
+    counts = np.bincount(text, minlength=4)
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts)
+    # sampled SA every sa_intv rows (row indexing includes sentinel row 0);
+    # sample[0] = -1 so sentinel-wrapping sa_lookup walks come out right
+    sa_samples = sa[::sa_intv].astype(np.int64)
+    sa_samples[0] = -1
+    return FMIndex(l_pac=l_pac, primary=primary, L2=L2, bwt_codes=bwt_codes,
+                   sa_intv=sa_intv, sa_samples=sa_samples,
+                   pac=pack_2bit(fwd), contigs=contigs, ambs=ambs)
+
+
+# ---------------------------- BWA index compatibility ------------------------
+
+def load_bwa_index(prefix: str) -> FMIndex:
+    """Load a prebuilt BWA-format index (.pac/.ann/.amb/.bwt/.sa).
+
+    Format equivalent to what bwa_idx_load consumes (gobwa.go:128-147):
+    .bwt = primary(u64) L2[1..4](u64) then interleaved (4xu64 occ checkpoint
+    per 128 bases + 2-bit codes packed 16/u32); .sa = primary, L2[1..4],
+    sa_intv, seq_len, then samples for rows sa_intv, 2*sa_intv, ...
+    """
+    contigs: List[Contig] = []
+    with open(prefix + ".ann") as f:
+        header = f.readline().split()
+        l_pac, n_seqs = int(header[0]), int(header[1])
+        for _ in range(n_seqs):
+            meta = f.readline().split()
+            name = meta[1]
+            nums = f.readline().split()
+            contigs.append(Contig(name, int(nums[0]), int(nums[1])))
+    ambs: List[AmbRegion] = []
+    with open(prefix + ".amb") as f:
+        hdr = f.readline().split()
+        n_holes = int(hdr[2])
+        for _ in range(n_holes):
+            o, ln, ch = f.readline().split()
+            ambs.append(AmbRegion(int(o), int(ln), ch))
+    pac = np.fromfile(prefix + ".pac", dtype=np.uint8)
+    # validate l_pac against pac file encoding (trailing length byte)
+    tail = int(pac[-1])
+    pac_codes = pac[:-1] if tail != 0 else pac[:-2]
+    expect_bytes = (l_pac + 3) // 4
+    pac_codes = pac_codes[:expect_bytes]
+
+    with open(prefix + ".bwt", "rb") as f:
+        raw = f.read()
+    primary = struct.unpack("<Q", raw[:8])[0]
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = struct.unpack("<4Q", raw[8:40])
+    payload = np.frombuffer(raw[40:], dtype=np.uint32)
+    seq_len = 2 * l_pac
+    bwt_codes = _deinterleave_bwa_bwt(payload, seq_len)
+
+    with open(prefix + ".sa", "rb") as f:
+        sraw = f.read()
+    sa_primary = struct.unpack("<Q", sraw[:8])[0]
+    assert sa_primary == primary
+    sa_intv, sa_seq_len = struct.unpack("<QQ", sraw[40:56])
+    assert sa_seq_len == seq_len
+    n_sa = (seq_len + sa_intv) // sa_intv
+    body = np.frombuffer(sraw[56:], dtype=np.uint64)[:n_sa - 1]
+    sa_samples = np.empty(n_sa, dtype=np.int64)
+    sa_samples[0] = -1  # row 0 = sentinel; never dereferenced
+    sa_samples[1:] = body.astype(np.int64)
+    return FMIndex(l_pac=l_pac, primary=int(primary), L2=L2,
+                   bwt_codes=bwt_codes, sa_intv=int(sa_intv),
+                   sa_samples=sa_samples, pac=pac_codes, contigs=contigs,
+                   ambs=ambs)
+
+
+def _deinterleave_bwa_bwt(payload: np.ndarray, seq_len: int) -> np.ndarray:
+    """Strip the interleaved occ checkpoints, return per-base codes."""
+    n_data_words = (seq_len + 15) // 16
+    n_ckpt = seq_len // OCC_INTERVAL + 1
+    words_per_block = OCC_INTERVAL // 16  # 8 data words per 128 bases
+    ckpt_words = 8  # 4 x u64 = 8 x u32
+    data = np.empty(n_data_words, dtype=np.uint32)
+    src = 0
+    dst = 0
+    remaining = n_data_words
+    for _ in range(n_ckpt):
+        src += ckpt_words
+        take = min(words_per_block, remaining)
+        if take <= 0:
+            break
+        data[dst:dst + take] = payload[src:src + take]
+        src += take
+        dst += take
+        remaining -= take
+    # unpack 16 bases per u32, first base in the high bits
+    shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+    codes = ((data[:, None] >> shifts[None, :]) & 3).astype(np.uint8).reshape(-1)
+    return codes[:seq_len]
