@@ -1,0 +1,318 @@
+"""Smith-Waterman DP primitives with BWA-MEM-exact semantics (host reference).
+
+Numpy row-vectorized implementations of the three DP routines the alignment
+engine needs; the Pallas TPU kernels in ``lariat_tpu/ops`` are tested for
+equality against these.
+
+Reference call sites (what the Go shim drives in the native engine):
+ - seed extension inside mem_align1_core  -> ``extend``       (gobwa.go:181-187)
+ - global alignment + CIGAR, mem_reg2aln  -> ``global_align`` (gobwa.go:400-415)
+ - mate rescue local SW, mem_matesw       -> ``local_align``  (gobwa.go:287-324)
+
+Vectorization notes: the extend/global recurrences open gaps from the
+diagonal value M only, so E/F have no intra-row dependency on H and each row
+is computable with elementwise ops plus one running-max scan for F. The local
+SW opens gaps from the final H; the standard dominance argument (opening a
+gap from a gap-sourced cell is never better than extending the original gap)
+lets F be computed by the same scan over H without F.
+
+Scoring matrix: 5x5 over codes A,C,G,T,N (match a, mismatch -b, N row/col -1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+MINUS_INF = -0x40000000
+
+
+def fill_score_matrix(a: int = 1, b: int = 4) -> np.ndarray:
+    mat = np.full((5, 5), -1, dtype=np.int64)
+    for i in range(4):
+        for j in range(4):
+            mat[i, j] = a if i == j else -b
+    return mat
+
+
+def _scan_gap(src: np.ndarray, gape: int) -> np.ndarray:
+    """F(j) = max_{k < j} (src[k] - (j-1-k)*gape) for j in [0, n); F(0)=-inf.
+
+    Computed as cummax(src[k] + k*gape) shifted right, minus (j-1)*gape.
+    """
+    n = len(src)
+    out = np.full(n, MINUS_INF, dtype=np.int64)
+    if n <= 1:
+        return out
+    k = np.arange(n - 1, dtype=np.int64)
+    run = np.maximum.accumulate(src[:-1] + k * gape)
+    out[1:] = run - k * gape
+    return out
+
+
+@dataclasses.dataclass
+class ExtendResult:
+    score: int      # best local-extension score
+    qle: int        # query length of the best extension
+    tle: int        # target length of the best extension
+    gtle: int       # target length of the best to-query-end extension
+    gscore: int     # best to-query-end score
+    max_off: int    # max band offset reached (drives band doubling)
+
+
+def extend(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+           o_del: int, e_del: int, o_ins: int, e_ins: int, w: int,
+           end_bonus: int, zdrop: int, h0: int) -> ExtendResult:
+    """ksw_extend2 semantics: extend right from a seed with initial score h0.
+
+    The caller reverses both sequences for left extension.
+    """
+    query = np.asarray(query, dtype=np.int64)
+    target = np.asarray(target, dtype=np.int64)
+    qlen, tlen = len(query), len(target)
+    if qlen == 0:
+        return ExtendResult(h0, 0, 0, 0, h0, 0)
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    max_sc = int(mat.max())
+    max_ins = max(int((qlen * max_sc + end_bonus - o_ins) / e_ins + 1.0), 1)
+    max_del = max(int((qlen * max_sc + end_bonus - o_del) / e_del + 1.0), 1)
+    w = min(w, max_ins, max_del)
+    # eh_h[j] = H(i-1, j-1) (diagonal); eh_e[j] = E(i, j)
+    eh_h = np.zeros(qlen + 2, dtype=np.int64)
+    eh_e = np.zeros(qlen + 2, dtype=np.int64)
+    eh_h[0] = h0
+    eh_h[1] = h0 - oe_ins if h0 > oe_ins else 0
+    j = 2
+    while j <= qlen and eh_h[j - 1] > e_ins:
+        eh_h[j] = eh_h[j - 1] - e_ins
+        j += 1
+    max_score = h0
+    max_i = max_j = -1
+    max_ie = -1
+    gscore = -1
+    max_off = 0
+    for i in range(tlen):
+        beg = i - w if i > w else 0
+        end = min(i + w + 1, qlen)
+        if beg >= end:
+            break
+        h1_init = 0
+        if beg == 0:
+            h1_init = h0 - (o_del + e_del * (i + 1))
+            if h1_init < 0:
+                h1_init = 0
+        sub = mat[target[i], query[beg:end]]
+        M = eh_h[beg:end].copy()
+        E = eh_e[beg:end]
+        M = np.where(M != 0, M + sub, 0)  # the M==0 quirk disallows 100M3I3D20M
+        mfloor_ins = np.maximum(M - oe_ins, 0)
+        F = np.maximum(_scan_gap(mfloor_ins, e_ins), 0)
+        F[0] = 0
+        h = np.maximum.reduce([M, E, F])
+        # write-back: eh_h[j] <- H(i, j-1); eh_e[j] <- E(i+1, j)
+        eh_h[beg] = h1_init
+        eh_h[beg + 1:end + 1] = h
+        eh_e[beg:end] = np.maximum(E - e_del, np.maximum(M - oe_del, 0))
+        eh_e[end] = 0
+        if end == qlen:
+            h_last = int(h[-1])
+            if gscore < h_last:
+                max_ie = i
+                gscore = h_last
+        m_best = int(h.max())
+        if m_best == 0:
+            break
+        # mj = LAST column achieving the row max (C tie-break)
+        mj = beg + (len(h) - 1 - int(np.argmax(h[::-1])))
+        if m_best > max_score:
+            max_score = m_best
+            max_i, max_j = i, mj
+            if abs(mj - i) > max_off:
+                max_off = abs(mj - i)
+        elif zdrop > 0:
+            if i - max_i > mj - max_j:
+                if max_score - m_best - ((i - max_i) - (mj - max_j)) * e_del > zdrop:
+                    break
+            else:
+                if max_score - m_best - ((mj - max_j) - (i - max_i)) * e_ins > zdrop:
+                    break
+    return ExtendResult(int(max_score), max_j + 1, max_i + 1,
+                        max_ie + 1, int(gscore), int(max_off))
+
+
+def _push_cigar(cigar: List[Tuple[int, int]], op: int, length: int) -> None:
+    if cigar and cigar[-1][0] == op:
+        cigar[-1] = (op, cigar[-1][1] + length)
+    else:
+        cigar.append((op, length))
+
+
+def global_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+                 o_del: int, e_del: int, o_ins: int, e_ins: int, w: int,
+                 want_cigar: bool = True
+                 ) -> Tuple[int, Optional[List[Tuple[int, int]]]]:
+    """ksw_global2 semantics: banded global alignment with traceback.
+
+    Returns (score, cigar); cigar ops 0=M, 1=I (query-consuming), 2=D.
+    """
+    query = np.asarray(query, dtype=np.int64)
+    target = np.asarray(target, dtype=np.int64)
+    qlen, tlen = len(query), len(target)
+    if qlen == 0 or tlen == 0:
+        return MINUS_INF, None
+    gapoe_del = o_del + e_del
+    gapoe_ins = o_ins + e_ins
+    n_col = min(qlen, 2 * w + 1)
+    z = np.zeros((tlen, n_col), dtype=np.uint8) if want_cigar else None
+    eh_h = np.full(qlen + 2, MINUS_INF, dtype=np.int64)
+    eh_e = np.full(qlen + 2, MINUS_INF, dtype=np.int64)
+    eh_h[0] = 0
+    j = 1
+    while j <= qlen and j <= w:
+        eh_h[j] = -(o_ins + e_ins * j)
+        j += 1
+    for i in range(tlen):
+        beg = i - w if i > w else 0
+        end = min(i + w + 1, qlen)
+        if beg >= end:
+            break
+        h1_init = -(o_del + e_del * (i + 1)) if beg == 0 else MINUS_INF
+        sub = mat[target[i], query[beg:end]]
+        M = eh_h[beg:end] + sub
+        E = eh_e[beg:end]
+        F = _scan_gap(M - gapoe_ins, e_ins)
+        if beg == 0:
+            # F(i,0) starts at MINUS_INF (no cell to the left inside band)
+            F[0] = MINUS_INF
+        h = np.maximum(M, E)
+        d = np.where(M >= E, 0, 1).astype(np.uint8)
+        d = np.where(h >= F, d, 2)
+        h = np.maximum(h, F)
+        e_ext = E - e_del
+        e_open = M - gapoe_del
+        d |= (e_ext > e_open).astype(np.uint8) << 2
+        f_ext = F - e_ins
+        f_open = M - gapoe_ins
+        # bit records whether F(i,j+1) extends from F(i,j): compare at cell j
+        d |= (f_ext > f_open).astype(np.uint8) << 4
+        if want_cigar:
+            z[i, :end - beg] = d
+        eh_h[beg] = h1_init
+        eh_h[beg + 1:end + 1] = h
+        eh_e[beg:end] = np.maximum(e_ext, e_open)
+        eh_e[end] = MINUS_INF
+    score = int(eh_h[qlen])
+    if not want_cigar:
+        return score, None
+    cigar: List[Tuple[int, int]] = []
+    which = 0
+    i = tlen - 1
+    k = min(i + w + 1, qlen) - 1
+    while i >= 0 and k >= 0:
+        beg = i - w if i > w else 0
+        which = (int(z[i, k - beg]) >> (which << 1)) & 3
+        if which == 0:
+            _push_cigar(cigar, 0, 1)
+            i -= 1
+            k -= 1
+        elif which == 1:
+            _push_cigar(cigar, 2, 1)
+            i -= 1
+        else:
+            _push_cigar(cigar, 1, 1)
+            k -= 1
+    if i >= 0:
+        _push_cigar(cigar, 2, i + 1)
+    if k >= 0:
+        _push_cigar(cigar, 1, k + 1)
+    cigar.reverse()
+    return score, cigar
+
+
+@dataclasses.dataclass
+class LocalResult:
+    score: int
+    qb: int
+    qe: int     # inclusive end (kswr_t convention)
+    tb: int
+    te: int     # inclusive end
+    score2: int
+    te2: int
+
+
+def _local_core(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+                o_del: int, e_del: int, o_ins: int, e_ins: int,
+                minsc: int, endsc: int
+                ) -> Tuple[int, int, int, int, int]:
+    """One direction of ksw local SW; returns (score, te, qe, score2, te2)."""
+    qlen, tlen = len(query), len(target)
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    H_prev = np.zeros(qlen, dtype=np.int64)   # H(i-1, j)
+    E = np.zeros(qlen, dtype=np.int64)        # E(i, j)
+    gmax, te = 0, -1
+    best_col: Optional[np.ndarray] = None
+    col_bests: List[Tuple[int, int]] = []     # merged consecutive-column maxima
+    diag = np.zeros(qlen, dtype=np.int64)
+    for i in range(tlen):
+        sub = mat[target[i], query]
+        diag[0] = 0
+        diag[1:] = H_prev[:-1]
+        M = diag + sub
+        H0 = np.maximum.reduce([M, E, np.zeros(qlen, dtype=np.int64)])
+        F = np.maximum(_scan_gap(np.maximum(H0 - oe_ins, 0), e_ins), 0)
+        H = np.maximum(H0, F)
+        E = np.maximum(np.maximum(E - e_del, H - oe_del), 0)
+        H_prev = H
+        col_max = int(H.max())
+        if col_max >= minsc:
+            if not col_bests or col_bests[-1][1] + 1 != i:
+                col_bests.append((col_max, i))
+            elif col_bests[-1][0] < col_max:
+                col_bests[-1] = (col_max, i)
+        if col_max > gmax:
+            gmax = col_max
+            te = i
+            best_col = H.copy()
+            if gmax >= endsc:
+                break
+    if te < 0 or best_col is None:
+        return 0, -1, -1, -1, -1
+    qe = int(np.argmax(best_col))
+    score2, te2 = -1, -1
+    max_match = int(mat.max())
+    radius = (gmax + max_match - 1) // max_match
+    low, high = te - radius, te + radius
+    for cm, ci in col_bests:
+        if (ci < low or ci > high) and cm > score2:
+            score2, te2 = cm, ci
+    return gmax, te, qe, score2, te2
+
+
+def local_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
+                o_del: int, e_del: int, o_ins: int, e_ins: int,
+                minsc: int) -> LocalResult:
+    """ksw_align2 semantics (KSW_XSTART|KSW_XSUBO): local SW + start coords.
+
+    Tie-break of qe within the best column follows position order (bwa's is
+    striped-layout order); scores and coordinates agree except on exact-tie
+    degeneracies.
+    """
+    query = np.asarray(query, dtype=np.int64)
+    target = np.asarray(target, dtype=np.int64)
+    if len(query) == 0 or len(target) == 0:
+        return LocalResult(0, -1, -1, -1, -1, -1, -1)
+    score, te, qe, score2, te2 = _local_core(
+        query, target, mat, o_del, e_del, o_ins, e_ins, minsc, 1 << 30)
+    if te < 0 or score < minsc:
+        return LocalResult(score, -1, -1, -1, -1, score2, te2)
+    rq = query[:qe + 1][::-1].copy()
+    rt = target[:te + 1][::-1].copy()
+    s2, te_r, qe_r, _, _ = _local_core(
+        rq, rt, mat, o_del, e_del, o_ins, e_ins, 1 << 30, score)
+    qb = qe - qe_r
+    tb = te - te_r
+    return LocalResult(score, qb, qe, tb, te, score2, te2)
