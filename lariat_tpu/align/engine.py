@@ -1,0 +1,318 @@
+"""Per-read alignment engine: candidate region generation + final alignment.
+
+Host reference implementation of the native engine surface the Go shim
+consumes (``gobwa/gobwa.go``):
+
+ - ``align1``      = mem_align1_core: seed -> chain -> filter -> extend ->
+                     dedup/patch (gobwa.go:181-187)
+ - ``mate_sw``     = mem_matesw driver incl. the per-anchor loop and rescue
+                     windows (gobwa.go:226-337)
+ - ``reg2aln``     = mem_reg2aln: banded global realign -> CIGAR/NM/pos
+                     (gobwa.go:400-415)
+ - ``interpret_align`` = InterpretAlign coordinate unprojection
+                     (gobwa.go:339-371)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import AlignerConfig, PairModel
+from ..index.fmindex import FMIndex, NT4_TABLE
+from . import ksw
+from .chaining import chain_seeds, filter_chains
+from .extension import AlnReg, chain2aln, sort_dedup_patch
+
+# internal cigar op encoding (bwa MIDSH)
+OP_M, OP_I, OP_D, OP_S, OP_H = 0, 1, 2, 3, 4
+
+
+def encode_read(seq: bytes) -> np.ndarray:
+    """ASCII -> nt4 codes (A0 C1 G2 T3, other 4)."""
+    return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].copy()
+
+
+@dataclasses.dataclass
+class SingleReadAlignment:
+    """mem_aln_t equivalent (bwa_bridge.h:6-16 field meanings)."""
+    pos: int = -1              # contig-local forward 5' position
+    rid: int = -1
+    chrom: str = ""
+    reversed_: bool = False
+    edit_distance: int = 0     # NM
+    cigar: Tuple[Tuple[int, int], ...] = ()
+    score: int = 0
+    sub: int = 0
+    read_s: int = 0
+    read_e: int = 0
+
+
+@dataclasses.dataclass
+class EasyAlignment:
+    """InterpretAlign output (gobwa.go:88-98)."""
+    offset: int
+    alignment_end: int
+    contig: str
+    reversed_: bool
+    region: AlnReg
+    score: int
+    secondary: bool
+    read_s: int
+    read_e: int
+
+
+class AlignmentEngine:
+    """TPU-native replacement for the C alignment engine + Go shim."""
+
+    def __init__(self, fm: FMIndex, opt: Optional[AlignerConfig] = None,
+                 pair: Optional[PairModel] = None):
+        self.fm = fm
+        self.opt = opt or AlignerConfig()
+        self.pair = pair or PairModel()
+        self.mat = ksw.fill_score_matrix(self.opt.match_score,
+                                         self.opt.mismatch_penalty)
+
+    # ------------------------------------------------------------------ align1
+
+    def align1(self, q: np.ndarray) -> List[AlnReg]:
+        """mem_align1_core: all candidate regions for one read."""
+        if len(q) == 0:
+            return []
+        chains = chain_seeds(self.fm, q, self.opt)
+        chains = filter_chains(self.opt, chains)
+        # mem_flt_chained_seeds is a no-op for short reads: min_l =
+        # 5.5*log(l) > 0.05*l holds for every read length below ~2 kb.
+        regs: List[AlnReg] = []
+        for c in chains:
+            chain2aln(self.fm, q, self.opt, c, regs, self.mat)
+        regs = sort_dedup_patch(self.fm, q, self.opt, regs, self.mat)
+        return regs
+
+    # ---------------------------------------------------------------- mate sw
+
+    def _infer_dir(self, b1: int, b2: int) -> Tuple[int, int]:
+        """mem_infer_dir: orientation r (0 FF,1 FR,2 RF,3 RR) and distance."""
+        l_pac = self.fm.l_pac
+        r1 = b1 >= l_pac
+        r2 = b2 >= l_pac
+        p2 = b2 if r1 == r2 else (l_pac << 1) - 1 - b2
+        dist = abs(p2 - b1)
+        return (0 if r1 == r2 else 1) ^ (0 if p2 > b1 else 3), dist
+
+    def _fetch_clamped(self, beg: int, mid: int, end: int
+                       ) -> Tuple[np.ndarray, int, int, int]:
+        """bns_fetch_seq: clamp [beg, end) to mid's contig (strand-projected)."""
+        l_pac = self.fm.l_pac
+        is_rev = mid >= l_pac
+        fpos = (l_pac << 1) - 1 - mid if is_rev else mid
+        rid = self.fm.pos_to_contig(fpos)
+        c = self.fm.contigs[rid]
+        far_beg, far_end = c.offset, c.offset + c.length
+        if is_rev:
+            far_beg, far_end = ((l_pac << 1) - (c.offset + c.length),
+                                (l_pac << 1) - c.offset)
+        beg = max(beg, far_beg)
+        end = min(end, far_end)
+        return self.fm.fetch_fmd(beg, end), beg, end, rid
+
+    def mate_rescue(self, anchor: AlnReg, mate_seq: np.ndarray,
+                    mate_regs: List[AlnReg]) -> int:
+        """mem_matesw for one anchor region; appends rescued regions."""
+        opt, pes = self.opt, self.pair
+        l_pac = self.fm.l_pac
+        l_ms = len(mate_seq)
+        if l_ms == 0:
+            return 0
+        # only the FR orientation (r=1) is configured (gobwa.go:230-237)
+        skip = False
+        for m in mate_regs:
+            r, dist = self._infer_dir(anchor.rb, m.rb)
+            if r == 1 and pes.low <= dist <= pes.high:
+                skip = True
+                break
+        if skip:
+            return 0
+        # r=1: is_rev=True, is_larger=True
+        rev = np.where(mate_seq < 4, 3 - mate_seq, 4).astype(np.uint8)[::-1]
+        rb = anchor.rb + pes.low - l_ms
+        re = anchor.rb + pes.high
+        rb = max(rb, 0)
+        re = min(re, l_pac << 1)
+        if rb >= re:
+            return 0
+        ref, rb, re, rid = self._fetch_clamped(rb, (rb + re) >> 1, re)
+        if rid != anchor.rid or re - rb < opt.min_seed_len:
+            return 0
+        aln = ksw.local_align(
+            rev.astype(np.int64), ref.astype(np.int64), self.mat,
+            opt.gap_open_del, opt.gap_extend_del, opt.gap_open_ins,
+            opt.gap_extend_ins, opt.min_seed_len * opt.match_score)
+        if aln.score >= opt.min_seed_len and aln.qb >= 0:
+            b = AlnReg(rid=anchor.rid, rescued=True)
+            b.qb = l_ms - (aln.qe + 1)
+            b.qe = l_ms - aln.qb
+            b.rb = (l_pac << 1) - (rb + aln.te + 1)
+            b.re = (l_pac << 1) - (rb + aln.tb)
+            b.score = aln.score
+            b.truesc = aln.score
+            b.csub = aln.score2
+            b.seedcov = min(b.re - b.rb, b.qe - b.qb) >> 1
+            b.w = opt.band_width
+            b.seedlen0 = min(b.re - b.rb, b.qe - b.qb)
+            mate_regs.append(b)
+        return 1
+
+    def align_pair(self, seq1: bytes, seq2: bytes, score_delta: int
+                   ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:
+        """GoBwaMemMateSW (gobwa.go:226-337): align both reads + mate rescue."""
+        opt = self.opt
+        q1 = encode_read(seq1)
+        q2 = encode_read(seq2)
+        regs1 = self.align1(q1) if len(q1) else []
+        regs2 = self.align1(q2) if len(q2) else []
+        best1 = max((r.score for r in regs1), default=0)
+        best2 = max((r.score for r in regs2), default=0)
+        # rescue read1 from read2's good hits (snapshot of regs2 pre-rescue)
+        num = 0
+        for m in list(regs2):
+            if num >= opt.max_matesw or len(q1) == 0:
+                break
+            if m.score >= best2 - score_delta:
+                num += 1
+                self.mate_rescue(m, q1, regs1)
+        # rescue read2 from the UPDATED read1 list (gobwa.go:302-324)
+        num = 0
+        for m in list(regs1):
+            if num >= opt.max_matesw or len(q2) == 0:
+                break
+            if m.score >= best1 - score_delta:
+                num += 1
+                self.mate_rescue(m, q2, regs2)
+        return ([self.interpret_align(r) for r in regs1],
+                [self.interpret_align(r) for r in regs2])
+
+    # ------------------------------------------------------------- interpret
+
+    def interpret_align(self, reg: AlnReg) -> EasyAlignment:
+        """InterpretAlign (gobwa.go:339-371): unproject doubled coordinates."""
+        fm = self.fm
+        c = fm.contigs[reg.rid]
+        if reg.rb < fm.l_pac:
+            offset = reg.rb - c.offset
+            rev = False
+        else:
+            offset = fm.seq_len - 1 - reg.rb - c.offset
+            rev = True
+        if reg.re < fm.l_pac:
+            aend = reg.re - c.offset
+        else:
+            aend = fm.seq_len - 1 - reg.re - c.offset
+        return EasyAlignment(offset=int(offset), alignment_end=int(aend),
+                             contig=c.name, reversed_=rev, region=reg,
+                             score=reg.score, secondary=False,
+                             read_s=reg.qb, read_e=reg.qe)
+
+    # --------------------------------------------------------------- reg2aln
+
+    @staticmethod
+    def _infer_bw(l1: int, l2: int, score: int, a: int, q: int, r: int) -> int:
+        if l1 == l2 and l1 * a - score < (q + r - a) << 1:
+            return 0
+        w = int((min(l1, l2) * a - score - q) / r + 2.0)
+        return max(w, abs(l1 - l2))
+
+    def _gen_cigar(self, query: np.ndarray, rb: int, re: int, w: int
+                   ) -> Tuple[Optional[List[Tuple[int, int]]], int, int]:
+        """bwa_gen_cigar2: global align [rb,re) vs query; (cigar, score, NM)."""
+        opt, fm = self.opt, self.fm
+        l_query = len(query)
+        if l_query <= 0 or rb >= re or (rb < fm.l_pac < re):
+            return None, 0, -1
+        rseq = fm.fetch_fmd(rb, re).astype(np.int64)
+        q = query.astype(np.int64)
+        if rb >= fm.l_pac:  # reverse both to leftmost-place indels
+            q = q[::-1].copy()
+            rseq = rseq[::-1].copy()
+        if l_query == re - rb and w == 0:
+            cigar = [(OP_M, l_query)]
+            score = int(self.mat[rseq, q].sum())
+        else:
+            score, raw = ksw.global_align(
+                q, rseq, self.mat, opt.gap_open_del, opt.gap_extend_del,
+                opt.gap_open_ins, opt.gap_extend_ins, w)
+            cigar = raw if raw else None
+        if cigar is None:
+            return None, score, -1
+        # NM: mismatches + gap bases (D at either cigar edge not counted)
+        n_mm = n_gap = 0
+        x = y = 0
+        for k, (op, ln) in enumerate(cigar):
+            if op == OP_M:
+                n_mm += int(np.count_nonzero(q[x:x + ln] != rseq[y:y + ln]))
+                x += ln
+                y += ln
+            elif op == OP_D:
+                if 0 < k < len(cigar) - 1:
+                    n_gap += ln
+                y += ln
+            elif op == OP_I:
+                x += ln
+                n_gap += ln
+        return cigar, score, n_mm + n_gap
+
+    def reg2aln(self, seq: bytes, reg: Optional[AlnReg]) -> SingleReadAlignment:
+        """mem_reg2aln: final banded global alignment -> CIGAR/NM/position."""
+        opt, fm = self.opt, self.fm
+        if reg is None or reg.rb < 0 or reg.re < 0:
+            return SingleReadAlignment()
+        query = encode_read(seq)
+        l_query = len(query)
+        qb, qe, rb, re = reg.qb, reg.qe, reg.rb, reg.re
+        w2 = max(
+            self._infer_bw(qe - qb, re - rb, reg.truesc, opt.match_score,
+                           opt.gap_open_del, opt.gap_extend_del),
+            self._infer_bw(qe - qb, re - rb, reg.truesc, opt.match_score,
+                           opt.gap_open_ins, opt.gap_extend_ins))
+        if w2 > opt.band_width:
+            w2 = min(w2, reg.w)
+        i = 0
+        last_sc = -(1 << 30)
+        cigar = None
+        NM = -1
+        while True:
+            w2 = min(w2, opt.band_width << 2)
+            cigar, score, NM = self._gen_cigar(query[qb:qe], rb, re, w2)
+            if score == last_sc or w2 == opt.band_width << 2:
+                break
+            last_sc = score
+            w2 <<= 1
+            i += 1
+            if not (i < 3 and score < reg.truesc - opt.match_score):
+                break
+        # position: forward-strand 5' coordinate
+        dpos = rb if rb < fm.l_pac else re - 1
+        is_rev = dpos >= fm.l_pac
+        pos = (fm.seq_len - 1 - dpos) if is_rev else dpos
+        cigar = list(cigar) if cigar else []
+        if cigar:  # squeeze leading/trailing deletions
+            if cigar[0][0] == OP_D:
+                pos += cigar[0][1]
+                cigar.pop(0)
+            elif cigar[-1][0] == OP_D:
+                cigar.pop()
+        if qb != 0 or qe != l_query:  # add soft clips (SAM orientation)
+            clip5 = l_query - qe if is_rev else qb
+            clip3 = qb if is_rev else l_query - qe
+            if clip5 > 0:
+                cigar.insert(0, (OP_S, clip5))
+            if clip3 > 0:
+                cigar.append((OP_S, clip3))
+        rid = fm.pos_to_contig(pos)
+        return SingleReadAlignment(
+            pos=int(pos - fm.contigs[rid].offset), rid=rid,
+            chrom=fm.contigs[rid].name, reversed_=bool(is_rev),
+            edit_distance=int(NM), cigar=tuple(cigar), score=reg.score,
+            sub=max(reg.sub, reg.csub), read_s=reg.qb, read_e=reg.qe)
