@@ -1,0 +1,233 @@
+"""Candidate generation: chains -> scored Alignment lists -> initial picks.
+
+Equivalents of the reference's GetChains (lariat.go:1706-1788), GetAlignments
+(lariat.go:1552-1704) and tagBestAlignments (lariat.go:1466-1549), driven by
+the TPU-native alignment engine instead of the C library.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from typing import List, Optional, Tuple
+
+from ..align.engine import AlignmentEngine, EasyAlignment, OP_M, OP_I, OP_D, OP_S
+from ..io.fastq import FastQRecord
+from ..utils.gorand import GoRand
+from .scoring import is_pair, score_alignment
+from .types import Alignment, MapQData
+
+
+@dataclasses.dataclass
+class ChainedHit:
+    """ChainedHit (lariat.go:50-66): one candidate region for one read."""
+    contig: str = ""
+    pos: int = -1
+    aend: int = 0
+    read_id: int = 0
+    mate_id: int = 0
+    hit_id: int = 0
+    secondary: bool = False
+    read1: bool = True
+    score: int = 0
+    ea: Optional[EasyAlignment] = None   # None = placeholder for unmapped
+    fastq: Optional[FastQRecord] = None
+
+
+def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
+               score_delta: int) -> Tuple[List[List[ChainedHit]], str]:
+    """GetChains: per pair candidate generation incl. mate rescue."""
+    out: List[List[ChainedHit]] = []
+    hit_num = 0
+    barcode = ""
+    for i, rec in enumerate(reads):
+        ea1, ea2 = engine.align_pair(rec.read1, rec.read2, score_delta)
+        barcode = rec.barcode10x.decode()
+        lst1: List[ChainedHit] = []
+        for ea in ea1:
+            lst1.append(ChainedHit(
+                contig=ea.contig, pos=ea.offset, aend=ea.alignment_end,
+                read_id=i * 2, mate_id=i * 2 + 1, hit_id=hit_num, read1=True,
+                secondary=ea.secondary, score=ea.score, ea=ea, fastq=rec))
+            hit_num += 1
+        if not lst1:
+            lst1.append(ChainedHit(read_id=i * 2, mate_id=i * 2 + 1, pos=-1,
+                                   read1=True, ea=None, fastq=rec))
+            hit_num += 1
+        out.append(lst1)
+        lst2: List[ChainedHit] = []
+        for ea in ea2:
+            lst2.append(ChainedHit(
+                contig=ea.contig, pos=ea.offset, aend=ea.alignment_end,
+                read_id=i * 2 + 1, mate_id=i * 2, hit_id=hit_num, read1=False,
+                secondary=ea.secondary, score=ea.score, ea=ea, fastq=rec))
+            hit_num += 1
+        if not lst2:
+            lst2.append(ChainedHit(read_id=i * 2 + 1, mate_id=i * 2, pos=-1,
+                                   hit_id=hit_num, read1=False, ea=None,
+                                   fastq=rec))
+            hit_num += 1
+        out.append(lst2)
+    return out, barcode
+
+
+def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit]],
+                   delta: int, improper_pair_penalty: float
+                   ) -> Tuple[List[List[Alignment]], List[List[Alignment]]]:
+    """GetAlignments: final SW per candidate + mismatch-locus CIGAR walk.
+
+    Returns (filtered within delta of per-read best, full lists), both indexed
+    by read_id.
+    """
+    n = len(barcode_chains)
+    filtered: List[List[Alignment]] = [[] for _ in range(n)]
+    full: List[List[Alignment]] = [[] for _ in range(n)]
+    for chain_list in barcode_chains:
+        best_score = 0
+        for ch in chain_list:
+            if ch.score > best_score:
+                best_score = ch.score
+        for ch in chain_list:
+            read_seq = ch.fastq.read1 if ch.read1 else ch.fastq.read2
+            if ch.ea is not None:
+                sra = engine.reg2aln(read_seq, ch.ea.region)
+            else:
+                sra = None
+            matches = 0
+            indels = 0
+            indel_length = 0
+            soft_clipping = 0
+            soft_clipping_length = 0
+            mismatch_locs: List[int] = []
+            mismatch_read_locs: List[int] = []
+            reversed_ = sra.reversed_ if sra else False
+            cigar = sra.cigar if sra else ()
+            if sra is not None and ch.pos != -1:
+                ref_start, ref_end = ch.pos, ch.aend
+                if reversed_:
+                    ref_start, ref_end = ch.aend + 1, ch.pos + 1
+                ref_seq = engine.fm.get_seq(sra.chrom, ref_start, ref_end,
+                                            reversed_)
+                ref_off = 0
+                read_off = 0
+                ops = list(cigar)
+                if reversed_:
+                    ops = ops[::-1]
+                for op, ln in ops:
+                    if op == OP_M:
+                        matches += ln
+                        for m in range(ln):
+                            if ref_off + m >= len(ref_seq):
+                                continue
+                            if read_off + m >= len(read_seq):
+                                raise RuntimeError(
+                                    "cigar longer than read: %r" % (cigar,))
+                            if ref_seq[ref_off + m] != read_seq[read_off + m]:
+                                if reversed_:
+                                    mismatch_locs.append(
+                                        ref_end - (ref_off + m))
+                                else:
+                                    mismatch_locs.append(
+                                        ref_off + ref_start + m)
+                                mismatch_read_locs.append(read_off + m)
+                        ref_off += ln
+                        read_off += ln
+                    elif op == OP_I:
+                        indels += 1
+                        indel_length += ln
+                        read_off += ln
+                    elif op == OP_D:
+                        indels += 1
+                        indel_length += ln
+                        ref_off += ln
+                    elif op == OP_S:
+                        soft_clipping += 1
+                        soft_clipping_length += ln
+                        read_off += ln
+            mismatches = (sra.edit_distance if sra else 0) - indel_length
+            matches -= mismatches
+            if mismatches < 0:
+                mismatches = 0
+            pos, aend = ch.pos, ch.aend
+            if pos != -1 and reversed_:
+                pos = ch.aend + 1
+                aend = ch.pos + 1
+            aln = Alignment(
+                id=ch.hit_id, aend=aend, fastq=ch.fastq, matches=matches,
+                mismatches=mismatches, mismatch_locs=mismatch_locs,
+                mismatch_read_locs=mismatch_read_locs, indels=indels,
+                soft_clipped=soft_clipping,
+                soft_clipped_length=soft_clipping_length, read1=ch.read1,
+                mapq_data=MapQData(), contig=sra.chrom if sra else "",
+                pos=pos, molecule_id=-1, score=ch.score,
+                cigar=cigar, read_id=ch.read_id, mate_id=ch.mate_id,
+                reversed_=reversed_)
+            aln.log_alignment_probability = score_alignment(
+                aln, None, 0.0, improper_pair_penalty) - improper_pair_penalty
+            aln.updated_log_alignment_probability = (
+                aln.log_alignment_probability + 2.0 * len(mismatch_locs))
+            if ch.ea is not None:
+                aln.readmap_s = ch.ea.read_s
+                aln.readmap_e = ch.ea.read_e
+            full[ch.read_id].append(aln)
+            if aln.score >= best_score - delta:
+                filtered[ch.read_id].append(aln)
+    return filtered, full
+
+
+def tag_best_alignments(alignments: List[List[Alignment]],
+                        improper_pair_penalty: float
+                        ) -> List[List[Alignment]]:
+    """tagBestAlignments: md5-seeded noisy initial pick + position buckets.
+
+    Returns per-contig position-sorted alignment lists.
+    """
+    positions: List[List[Alignment]] = []
+    contigs = {}
+    touched = [False] * len(alignments)
+    for read_id, arr in enumerate(alignments):
+        was_touched = touched[read_id]
+        best_score = -float("inf")
+        best_alignment: Optional[Alignment] = None
+        best_mate: Optional[Alignment] = None
+        seed = 1
+        if arr:
+            digest = hashlib.md5(arr[0].read_name.encode()).digest()
+            seed_u = int.from_bytes(digest[0:8], "little")
+            seed = seed_u - (1 << 64) if seed_u >= (1 << 63) else seed_u
+        random = GoRand(seed)
+        for aln in arr:
+            if read_id != aln.read_id:
+                raise RuntimeError("read id mismatch")
+            mates = alignments[aln.mate_id]
+            for mate in mates:
+                total = (score_alignment(aln, mate, 0.0, improper_pair_penalty)
+                         + random.float64() / 2.0)
+                if total > best_score:
+                    best_score = total
+                    best_alignment = aln
+                    best_mate = mate
+            if not mates:
+                sc = float(aln.score) + random.float64() / 2.0
+                if sc > best_score:
+                    best_score = sc
+                    best_alignment = aln
+            idx = contigs.get(aln.contig)
+            if idx is not None:
+                positions[idx].append(aln)
+            else:
+                contigs[aln.contig] = len(positions)
+                positions.append([aln])
+        if not was_touched and best_alignment is not None:
+            best_alignment.active = True
+            best_alignment.bwa_pick = True
+            if best_mate is not None:
+                if is_pair(best_alignment, best_mate):
+                    best_alignment.is_proper = True
+                    best_mate.is_proper = True
+                best_mate.active = True
+                best_mate.bwa_pick = True
+                touched[best_mate.read_id] = True
+    for plist in positions:
+        plist.sort(key=lambda a: a.pos)
+    return positions

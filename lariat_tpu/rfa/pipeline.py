@@ -1,0 +1,124 @@
+"""Per-barcode RFA pipeline (DoRFAForOneBarcode, lariat.go:461-547)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+from ..align.engine import AlignmentEngine
+from ..config import RFAConfig
+from ..io.fastq import FastQRecord
+from .candidates import get_alignments, get_chains, tag_best_alignments
+from .dups import mark_duplicates
+from .mapq import estimate_map_qualities
+from .molecules import (infer_molecules, mark_best_alignment_for_read_in_molecule,
+                        scrap_molecules, set_molecule_differences)
+from .optimizer import RFAOptimizer
+from .split import check_split_reads
+from .types import Alignment, CandidateMolecule, Region
+
+
+@dataclasses.dataclass
+class RFAStats:
+    total: int = 0
+    correct: int = 0
+    correct_mapq10: int = 0
+    total_mapq10: int = 0
+
+
+@dataclasses.dataclass
+class BarcodeResult:
+    alignments: List[List[Alignment]]
+    molecules: Optional[List[CandidateMolecule]]
+    reads: List[FastQRecord]
+    attach_bx: bool
+    barcode: str
+
+
+def worth_running_rfa(reads: List[FastQRecord], unique_barcode: bool) -> bool:
+    """lariat.go:1088-1100."""
+    if not reads or not unique_barcode:
+        return False
+    parts = reads[0].barcode10x.split(b"-")
+    if len(parts) < 2:
+        return False
+    if len(reads) < 5:
+        return False
+    return True
+
+
+def simulated_data_check(molecules: List[CandidateMolecule],
+                         stats: RFAStats) -> None:
+    """Truth-in-qname accounting (lariat.go:517-542)."""
+    for mol in molecules:
+        for aln in mol.active_alignments.values():
+            stats.total += 1
+            if aln.mapq >= 10:
+                stats.total_mapq10 += 1
+            parts = aln.read_name.split(":")
+            try:
+                pos = float(parts[5]) if aln.read1 else float(parts[6].strip())
+            except (IndexError, ValueError):
+                continue
+            if abs(pos - aln.pos) < 600:
+                stats.correct += 1
+                aln.correctly_placed = True
+                if aln.mapq >= 10:
+                    stats.correct_mapq10 += 1
+
+
+def process_barcode(engine: AlignmentEngine, reads: List[FastQRecord],
+                    unique_barcode: bool, config: RFAConfig,
+                    centromeres: Optional[Dict[str, Region]] = None,
+                    stats: Optional[RFAStats] = None,
+                    simulated: bool = False) -> BarcodeResult:
+    """Full per-barcode flow: candidates -> initial pick -> RFA -> MAPQ ->
+    dups -> split reads."""
+    centromeres = centromeres or {}
+    ipp = config.improper_pair_penalty
+    worth = worth_running_rfa(reads, unique_barcode)
+    chains, barcode = get_chains(engine, reads, config.chain_score_delta)
+    alignments, stashed = get_alignments(engine, chains,
+                                         config.alignment_score_delta, ipp)
+    positions = tag_best_alignments(alignments, -17)
+
+    if not worth:
+        estimate_map_qualities(alignments, None, ipp, ipp, centromeres)
+        mark_duplicates(alignments)
+        check_split_reads(stashed, centromeres, ipp)
+        return BarcodeResult(alignments, None, reads, unique_barcode, barcode)
+
+    molecules = infer_molecules(positions)
+    mark_best_alignment_for_read_in_molecule(molecules, ipp)
+    molecules = scrap_molecules(molecules)
+    set_molecule_differences(molecules, False)
+    opt = RFAOptimizer(molecules, alignments, ipp, barcode)
+    opt.optimize()
+    estimate_map_qualities(alignments, molecules, ipp, ipp, centromeres)
+    if simulated and stats is not None:
+        simulated_data_check(molecules, stats)
+    mark_duplicates(alignments)
+    check_split_reads(stashed, centromeres, ipp)
+    return BarcodeResult(alignments, molecules, reads, True, barcode)
+
+
+def load_centromeres(path: Optional[str]) -> Dict[str, Region]:
+    """lariat.go:392-420: lines 'CEN<x>\\t<chrom>\\t<start>\\t<end>'."""
+    out: Dict[str, Region] = {}
+    if not path:
+        return out
+    try:
+        with open(path) as f:
+            for line in f:
+                if not line.startswith("CEN"):
+                    continue
+                tokens = line.rstrip("\n").split("\t")
+                if len(tokens) < 4:
+                    continue
+                try:
+                    out[tokens[1]] = Region(int(tokens[2]), int(tokens[3]))
+                except ValueError:
+                    continue
+    except OSError:
+        return {}
+    return out

@@ -1,0 +1,128 @@
+"""Deterministic per-read tie-break PRNG (Go math/rand-style ALFG).
+
+The reference breaks score ties with ``rand.New(rand.NewSource(seed))`` where
+seed comes from the md5 of the read name (``inference/lariat.go:1481-1486``).
+We reproduce the same *structure*: md5-seeded, additive lagged Fibonacci
+generator (len 607, tap 273) with Go's seeding recipe, Float64 in [0,1).
+
+NOT bit-exact with Go's value stream: Go's seeding XORs a 607-entry constant
+table (``rngCooked``) that is baked into its source and not reproducible here
+(we generate our own equivalent table with the documented procedure). The
+tie-break noise is < 0.5 and only decides between *exactly tied* candidate
+pairs, where the reference's choice is itself arbitrary; the RFA optimizer
+and MAPQ model downstream are unaffected. The stream is stable across runs
+and platforms, which is what barcode-level determinism requires.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+RNG_LEN = 607
+RNG_TAP = 273
+INT32_MAX = (1 << 31) - 1
+MASK64 = (1 << 64) - 1
+_A, _Q, _R = 48271, 44488, 3399
+
+_COOKED_CACHE = os.path.join(os.path.dirname(__file__), "_gorand_cooked.npy")
+_cooked: Optional[np.ndarray] = None
+
+
+def _seedrand(x: int) -> int:
+    hi, lo = divmod(x, _Q)
+    x = _A * lo - _R * hi
+    if x < 0:
+        x += INT32_MAX
+    return x
+
+
+def _gen_cooked() -> np.ndarray:
+    """Recompute rngCooked per gen_cooked.go."""
+    vec = [0] * RNG_LEN
+    x = 1
+    for i in range(-20, RNG_LEN):
+        x = _seedrand(x)
+        if i >= 0:
+            u = (x << 20) & MASK64
+            x = _seedrand(x)
+            u ^= (x << 10) & MASK64
+            x = _seedrand(x)
+            u ^= x
+            vec[i] = u
+    # run the ALFG 780,000 steps
+    tap, feed = 0, RNG_LEN - RNG_TAP
+    v = np.array(vec, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for _ in range(780000):
+            tap -= 1
+            if tap < 0:
+                tap += RNG_LEN
+            feed -= 1
+            if feed < 0:
+                feed += RNG_LEN
+            v[feed] = v[feed] + v[tap]
+    return v
+
+
+def _get_cooked() -> np.ndarray:
+    global _cooked
+    if _cooked is not None:
+        return _cooked
+    if os.path.exists(_COOKED_CACHE):
+        _cooked = np.load(_COOKED_CACHE)
+        return _cooked
+    _cooked = _gen_cooked()
+    try:
+        np.save(_COOKED_CACHE, _cooked)
+    except OSError:
+        pass
+    return _cooked
+
+
+class GoRand:
+    """rand.New(rand.NewSource(seed)) value stream."""
+
+    def __init__(self, seed: int):
+        cooked = _get_cooked()
+        self.vec = [0] * RNG_LEN
+        self.tap = 0
+        self.feed = RNG_LEN - RNG_TAP
+        seed = seed % INT32_MAX
+        if seed < 0:
+            seed += INT32_MAX
+        if seed == 0:
+            seed = 89482311
+        x = seed
+        for i in range(-20, RNG_LEN):
+            x = _seedrand(x)
+            if i >= 0:
+                u = (x << 40) & MASK64
+                x = _seedrand(x)
+                u ^= (x << 20) & MASK64
+                x = _seedrand(x)
+                u ^= x
+                u ^= int(cooked[i])
+                self.vec[i] = u
+
+    def uint64(self) -> int:
+        self.tap -= 1
+        if self.tap < 0:
+            self.tap += RNG_LEN
+        self.feed -= 1
+        if self.feed < 0:
+            self.feed += RNG_LEN
+        x = (self.vec[self.feed] + self.vec[self.tap]) & MASK64
+        self.vec[self.feed] = x
+        return x
+
+    def int63(self) -> int:
+        return self.uint64() & ((1 << 63) - 1)
+
+    def float64(self) -> float:
+        while True:
+            f = self.int63() / (1 << 63)
+            if f != 1.0:
+                return f

@@ -1,0 +1,122 @@
+"""End-to-end RFA inference tests on a synthetic genome with a duplication.
+
+Exercises the read-cloud disambiguation the reference exists for: reads from
+a duplicated segment are ambiguous alone but should be placed with their
+molecule's read cloud.
+"""
+
+import numpy as np
+import pytest
+
+from lariat_tpu.align.engine import AlignmentEngine
+from lariat_tpu.config import RFAConfig
+from lariat_tpu.index import fmindex
+from lariat_tpu.io.fastq import FastQRecord
+from lariat_tpu.rfa.pipeline import process_barcode, worth_running_rfa
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+COMP = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def _revcomp(seq: bytes) -> bytes:
+    return seq.translate(COMP)[::-1]
+
+
+@pytest.fixture(scope="module")
+def dup_genome(tmp_path_factory):
+    """80 kb random genome with [2000:3000] duplicated at [42000:43000]
+    (> 50 kb molecule gap away from the first cloud's span)."""
+    rng = np.random.default_rng(7)
+    g = BASES[rng.integers(0, 4, 80000)]
+    g[42000:43000] = g[2000:3000]
+    fasta = tmp_path_factory.mktemp("genome") / "dup.fa"
+    seq = g.tobytes().decode()
+    with open(fasta, "w") as f:
+        f.write(">chrT\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i:i + 70] + "\n")
+    fm = fmindex.build_index(str(fasta))
+    return fm, g.tobytes()
+
+
+def _make_pair(genome: bytes, pos: int, insert: int, name: str,
+               barcode: str = "AAACAGAGAAAGAT-1") -> FastQRecord:
+    r1 = genome[pos:pos + 100]
+    r2 = _revcomp(genome[pos + insert - 100:pos + insert])
+    q = b"I" * 100
+    return FastQRecord(read1=r1, read_qual1=q, read2=r2, read_qual2=q,
+                       barcode10x=barcode.encode(), barcode10x_qual=b"J" * 14,
+                       raw_barcode10x=barcode.split("-")[0].encode(),
+                       barcode=b"ACGTACGT", barcode_qual=b"IIIIIIII",
+                       read_info=name)
+
+
+def test_rfa_places_ambiguous_read_with_cloud(dup_genome):
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    # molecule at [1500, 3500]: 8 pairs, some inside the duplicated segment
+    reads = []
+    for i, pos in enumerate(range(1500, 3100, 200)):
+        reads.append(_make_pair(genome, pos, 300, f"m1:{i}"))
+    assert worth_running_rfa(reads, True)
+    result = process_barcode(engine, reads, True, RFAConfig())
+    # every read must have exactly one active alignment
+    actives = []
+    for arr in result.alignments:
+        act = [a for a in arr if a.active]
+        assert len(act) == 1, "each read needs exactly one active alignment"
+        actives.append(act[0])
+    # ambiguous reads (inside [2000,3000] with both ends in the dup segment)
+    # must be placed at the first copy, with the cloud
+    for a in actives:
+        assert a.contig == "chrT"
+        assert a.pos < 11000, (
+            f"read {a.read_name} placed at {a.pos}, outside the cloud")
+    # molecule inference: one molecule spanning ~[1500, 3400]
+    assert result.molecules is not None
+    big = [m for m in result.molecules if len(m.active_alignments) >= 8]
+    assert big, "expected one dominant molecule"
+    # mapqs within range
+    for a in actives:
+        assert 0 <= a.mapq <= 60
+
+
+def test_rfa_two_molecules(dup_genome):
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    reads = []
+    for i, pos in enumerate(range(4000, 5200, 150)):
+        reads.append(_make_pair(genome, pos, 280, f"a:{i}"))
+    for i, pos in enumerate(range(60000, 61200, 150)):
+        reads.append(_make_pair(genome, pos, 280, f"b:{i}"))
+    result = process_barcode(engine, reads, True, RFAConfig())
+    mols = [m for m in result.molecules if len(m.active_alignments) > 0]
+    starts = sorted(m.start for m in mols)
+    assert len(mols) == 2
+    assert abs(starts[0] - 4000) < 300 and abs(starts[1] - 60000) < 300
+    # well-separated unique placements get high MAPQ
+    high = [a for arr in result.alignments for a in arr
+            if a.active and a.mapq >= 30]
+    assert len(high) >= len(reads)  # most of 2*n reads
+
+
+def test_non_rfa_barcode_path(dup_genome):
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    reads = [_make_pair(genome, 5000, 300, "x:0", barcode="AAAA")]
+    assert not worth_running_rfa(reads, True)
+    result = process_barcode(engine, reads, True, RFAConfig())
+    assert result.molecules is None
+    for arr in result.alignments:
+        assert sum(1 for a in arr if a.active) == 1
+
+
+def test_duplicate_marking(dup_genome):
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    reads = [_make_pair(genome, 6000, 300, f"d:{i}") for i in range(6)]
+    result = process_barcode(engine, reads, True, RFAConfig())
+    actives = [a for arr in result.alignments for a in arr if a.active]
+    dups = [a for a in actives if a.duplicate]
+    # 6 identical pairs -> 5 dup read1s + 5 dup read2s
+    assert len(dups) == 10
