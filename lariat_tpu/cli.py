@@ -1,0 +1,121 @@
+"""Command-line entry point with reference flag parity (lariat/main.go:9-48).
+
+Usage: python -m lariat_tpu.cli -reads in.fastq.gz -genome ref.fa -output dir
+
+Accepts both single-dash (Go style) and double-dash flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import __version__
+from .align.engine import AlignmentEngine
+from .config import RFAConfig
+from .index import fmindex
+from .io.bamwriter import LariatBAMs
+from .io.fastq import FastQReader
+from .rfa.pipeline import (RFAStats, load_centromeres, process_barcode,
+                           worth_running_rfa)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="lariat_tpu", allow_abbrev=False)
+    a = p.add_argument
+    a("-reads", "--reads", required=True,
+      help="fastq.gz input file containing reads")
+    a("-improper_pair_penalty", "--improper_pair_penalty", type=float,
+      default=-4.0, help="penalty for improper pair")
+    a("-simulated", "--simulated", action="store_true", help="simulated data?")
+    a("-output", "--output", required=True,
+      help="directory at which to output bam files")
+    a("-read_groups", "--read_groups",
+      default="sample:library:gem_group:flowcell:lane",
+      help="comma-separated list of read group IDs")
+    a("-sample_id", "--sample_id", default="default_sample_id")
+    a("-threads", "--threads", type=int, default=8)
+    a("-max_bcs", "--max_bcs", type=int, default=-1,
+      help="maximum number of barcodes to process")
+    a("-debug", "--debug", action="store_true")
+    a("-position_chunk_size", "--position_chunk_size", type=int,
+      default=40000000)
+    a("-debugBamTags", "--debugBamTags", action="store_true")
+    a("-debugPrintMove", "--debugPrintMove", action="store_true")
+    a("-genome", "--genome", required=True, help="genome FASTA path")
+    a("-centromeres", "--centromeres", default="")
+    a("-trim_length", "--trim_length", type=int, default=0)
+    a("-first_chunk", "--first_chunk", action="store_true")
+    a("-index", "--index", default="",
+      help="optional prebuilt index prefix (.lariat.npz or bwa-format)")
+    return p
+
+
+def load_reference(genome: str, index_prefix: str = ""):
+    """Load or build the genome index: prefers our .lariat.npz, then a
+    bwa-format index next to the FASTA, then builds from scratch."""
+    import os
+    prefix = index_prefix or genome
+    if os.path.exists(prefix + ".lariat.npz"):
+        return fmindex.FMIndex.load(prefix)
+    if os.path.exists(prefix + ".bwt"):
+        return fmindex.load_bwa_index(prefix)
+    fm = fmindex.build_index(genome)
+    try:
+        fm.save(genome)
+    except OSError:
+        pass
+    return fm
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    print(f"Starting lariat_tpu. Version: {__version__}")
+    print(f"Loading reference genome: {args.genome}")
+    fm = load_reference(args.genome, args.index)
+    print("Reference loaded")
+    engine = AlignmentEngine(fm)
+    config = RFAConfig(improper_pair_penalty=args.improper_pair_penalty)
+    centromeres = load_centromeres(args.centromeres or None)
+    stats = RFAStats()
+    bams = LariatBAMs(
+        contigs=[(c.name, c.length) for c in fm.contigs],
+        base_path=args.output, read_groups=args.read_groups,
+        sample_id=args.sample_id,
+        position_chunk_size=args.position_chunk_size,
+        debug_tags=args.debugBamTags, first_chunk=args.first_chunk,
+        version=__version__, cl=" ".join(sys.argv))
+    reader = FastQReader(args.reads)
+    barcode_num = 0
+    n_pairs = 0
+    t0 = time.time()
+    while True:
+        barcode_num += 1
+        reads, unique = reader.read_barcode_set(args.trim_length)
+        if reads is None:
+            break
+        if barcode_num == args.max_bcs:
+            break
+        if len(reads) > 2:
+            print(f"working on barcode {reads[0].barcode10x.decode()}  "
+                  f"num reads: {len(reads)}  doing RFA: "
+                  f"{worth_running_rfa(reads, unique)}  "
+                  f"unique_barcode {unique}")
+        result = process_barcode(engine, reads, unique, config, centromeres,
+                                 stats, args.simulated)
+        bams.dump(result.alignments, result.attach_bx)
+        n_pairs += len(reads)
+    bams.close()
+    dt = time.time() - t0
+    print(f"Processed {n_pairs} read pairs across {barcode_num - 1} barcodes "
+          f"in {dt:.1f}s ({n_pairs / max(dt, 1e-9):.1f} pairs/s)")
+    if args.simulated and stats.total:
+        print(f"simulated: total={stats.total} correct={stats.correct} "
+              f"mapq10 total={stats.total_mapq10} correct={stats.correct_mapq10}")
+    print("Lariat completed successfully")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""End-to-end CLI test: fastq.gz + FASTA -> BAM outputs."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from lariat_tpu import cli
+from lariat_tpu.io.bamread import BamFile
+
+BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+COMP = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def test_cli_end_to_end(tmp_path):
+    rng = np.random.default_rng(11)
+    genome = BASES[rng.integers(0, 4, 30000)].tobytes()
+    fasta = tmp_path / "g.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        s = genome.decode()
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+
+    def pair(pos, insert=300):
+        r1 = genome[pos:pos + 100]
+        r2 = genome[pos + insert - 100:pos + insert].translate(COMP)[::-1]
+        return r1.decode(), r2.decode()
+
+    fq = tmp_path / "reads.fastq.gz"
+    with gzip.open(fq, "wt") as f:
+        qual = "I" * 100
+        for bc_i, bc in enumerate(["AAACAGAGAAAGAT-1", "CCCTGAGAAAAGAT-1"]):
+            for i in range(8):
+                pos = 2000 + bc_i * 9000 + i * 250
+                r1, r2 = pair(pos)
+                f.write(f"@bc{bc_i}:r{i} rg1\n{r1}\n{qual}\n{r2}\n{qual}\n"
+                        f"{bc},{bc.split('-')[0]}\nJJJJJJJJJJJJJJ\n"
+                        f"ACGTACGT\nIIIIIIII\n")
+    out = tmp_path / "out"
+    rc = cli.main(["-reads", str(fq), "-genome", str(fasta),
+                   "-output", str(out), "-read_groups", "s:lib:1:fc:1",
+                   "-first_chunk"])
+    assert rc == 0
+    bam = BamFile(str(out / "bc_sorted_bam.bam"))
+    recs = list(bam)
+    assert len(recs) == 32  # 16 pairs
+    assert all(not r.is_unmapped for r in recs)
+    assert all(r.is_proper_pair for r in recs)
+    # barcode order preserved (bc0 reads before bc1)
+    bx = [r.tags["BX"] for r in recs]
+    assert bx == sorted(bx)
+    # index reused on second run
+    assert os.path.exists(str(fasta) + ".lariat.npz")
