@@ -98,6 +98,9 @@ def extend(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
         beg = i - w if i > w else 0
         end = min(i + w + 1, qlen)
         if beg >= end:
+            # C runs the empty loop body: j==qlen gscore side-effect, m=0 break
+            if beg == qlen and gscore < 0:
+                max_ie, gscore = i, 0
             break
         h1_init = 0
         if beg == 0:
