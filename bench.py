@@ -1,0 +1,101 @@
+"""Benchmark: device candidate-generation throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures the flagship device step (FM exact seed -> SA dereference -> window
+fetch -> banded SW extension of the full read) in steady state on the default
+JAX device (the real TPU chip under the driver). Reads are simulated 151 bp
+pairs over an E. coli-scale synthetic genome.
+
+vs_baseline compares against 10,000 read pairs/s — a rough figure for the
+single-node reference (Go + BWA C API, 8 threads) on commodity CPUs; the
+reference repo publishes no numbers (BASELINE.md) and its native submodules
+are not buildable here, so this stands in for the "single-node Go+BWA"
+denominator of the >=10x north-star target.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 10_000.0
+
+
+def main() -> None:
+    import jax
+
+    from lariat_tpu.align import ksw
+    from lariat_tpu.index import fmindex
+    from lariat_tpu.parallel.align_step import DeviceGenome, align_step
+
+    # E. coli-scale genome (4.6 Mb)
+    rng = np.random.default_rng(12)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    glen = 4_600_000
+    g = bases[rng.integers(0, 4, glen)]
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".fa", delete=False) as f:
+        s = g.tobytes().decode()
+        f.write(">chrE\n")
+        step = 1 << 16
+        for i in range(0, len(s), step):
+            f.write(s[i:i + step] + "\n")
+        path = f.name
+    t_index = time.time()
+    fm = fmindex.build_index(path)
+    t_index = time.time() - t_index
+
+    codes = fmindex.NT4_TABLE[np.frombuffer(g.tobytes(), dtype=np.uint8)]
+    B, L = 8192, 151
+    starts = rng.integers(0, glen - L, B)
+    reads = np.zeros((B, L), np.uint8)
+    for i, pos in enumerate(starts):
+        seg = codes[pos:pos + L].copy()
+        if i % 2:
+            seg = (3 - seg)[::-1]
+        p = int(rng.integers(0, L))
+        seg[p] = (seg[p] + 1) % 4
+        reads[i] = seg
+    lens = np.full(B, L, np.int32)
+    mat = np.asarray(ksw.fill_score_matrix(1, 4))
+
+    dg = jax.device_put(DeviceGenome.from_host(fm))
+    reads_d = jax.device_put(reads)
+    lens_d = jax.device_put(lens)
+    mat_d = jax.device_put(mat)
+
+    # warmup/compile
+    res = align_step(dg, reads_d, lens_d, mat_d)
+    jax.block_until_ready(res.score)
+    mapped = int(np.sum(np.asarray(res.mapped)))
+
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        res = align_step(dg, reads_d, lens_d, mat_d)
+    jax.block_until_ready(res.score)
+    dt = (time.time() - t0) / iters
+    reads_per_s = B / dt
+    pairs_per_s = reads_per_s / 2.0
+
+    print(json.dumps({
+        "metric": "read pairs candidate-generated/sec/chip "
+                  "(seed+SA+extend device step, 151bp, E.coli-scale genome)",
+        "value": round(pairs_per_s, 1),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+        "detail": {
+            "batch": B, "read_len": L, "mapped_frac": mapped / B,
+            "step_ms": round(dt * 1e3, 2),
+            "index_build_s": round(t_index, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

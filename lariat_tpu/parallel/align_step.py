@@ -1,0 +1,178 @@
+"""Jittable device align step + multi-chip sharding.
+
+The flagship device computation: for a batch of reads, run FM-index exact
+search, dereference hit rows through the sampled suffix array (bounded LF
+walk), fetch the candidate reference window from the device-resident 2-bit
+pac, and run banded SW extension — all under one jit, shardable over a 1-D
+data mesh with the genome index replicated (ICI collectives only for stats).
+
+This is the TPU-native analog of the per-read candidate generation hot path
+(reference C hot loops #1-#3, SURVEY.md section 3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import FMIndex
+from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch,
+                            exact_match_batch, occ4_batch)
+from ..ops.sw_batch import extend_batch
+
+
+class DeviceGenome(NamedTuple):
+    """Device pac + sampled SA alongside the FM arrays."""
+    fmd: DeviceFMIndex
+    pac_bytes: jnp.ndarray    # (ceil(l_pac/4),) uint8 2-bit packed forward
+    sa_samples: jnp.ndarray   # (n_sa,) int64
+    sa_intv: jnp.ndarray      # ()
+    l_pac: jnp.ndarray        # ()
+
+    @classmethod
+    def from_host(cls, fm: FMIndex) -> "DeviceGenome":
+        return cls(fmd=DeviceFMIndex.from_host(fm),
+                   pac_bytes=jnp.asarray(fm.pac),
+                   sa_samples=jnp.asarray(fm.sa_samples),
+                   sa_intv=jnp.asarray(np.int64(fm.sa_intv)),
+                   l_pac=jnp.asarray(np.int64(fm.l_pac)))
+
+
+def _bwt_code_at(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Physical BWT code at row k (sentinel-adjusted), batched."""
+    kx = jnp.where(k > fmd.primary, k - 1, k)
+    word = fmd.bwt_words.reshape(-1)[(kx >> 4).astype(jnp.int32)]
+    shift = ((15 - (kx & 15)) * 2).astype(jnp.uint32)
+    return ((word >> shift) & 3).astype(jnp.int32)
+
+
+def sa_lookup_batch(g: DeviceGenome, k: jnp.ndarray,
+                    max_steps: int = 512) -> jnp.ndarray:
+    """Batched bwt_sa: LF-walk each row until it lands on a sampled row.
+
+    The walk length is unbounded in principle (expected ~sa_intv steps);
+    max_steps caps it generously and the while_loop exits as soon as every
+    lane has resolved.
+    """
+    fmd = g.fmd
+
+    def cond(state):
+        _, _, done, it = state
+        return (~jnp.all(done)) & (it < max_steps)
+
+    def body(state):
+        k, steps, done, it = state
+        c = _bwt_code_at(fmd, k)
+        occ = occ4_batch(fmd, k)
+        lf = fmd.L2[c].astype(jnp.int64) + jnp.take_along_axis(
+            occ, c[..., None], axis=-1)[..., 0]
+        lf = jnp.where(k == fmd.primary, 0, lf)
+        nk = jnp.where(done, k, lf)
+        nsteps = jnp.where(done, steps, steps + 1)
+        ndone = done | ((nk % g.sa_intv) == 0)
+        return nk, nsteps, ndone, it + 1
+
+    done0 = (k % g.sa_intv) == 0
+    k, steps, _, _ = jax.lax.while_loop(
+        cond, body, (k, jnp.zeros_like(k), done0, jnp.int32(0)))
+    return g.sa_samples[(k // g.sa_intv).astype(jnp.int64)] + steps
+
+
+def fetch_window_batch(g: DeviceGenome, start: jnp.ndarray,
+                       length: int) -> jnp.ndarray:
+    """Gather forward-strand base codes [start, start+length) per batch item.
+
+    Out-of-range positions yield code 4 (N) so they never match.
+    """
+    offs = jnp.arange(length, dtype=jnp.int64)[None, :]
+    pos = start[:, None] + offs
+    valid = (pos >= 0) & (pos < g.l_pac)
+    p = jnp.clip(pos, 0, g.l_pac - 1)
+    byte = g.pac_bytes[(p >> 2).astype(jnp.int64)]
+    shift = ((3 - (p & 3)) * 2).astype(jnp.uint8)
+    codes = (byte >> shift) & 3
+    return jnp.where(valid, codes.astype(jnp.int32), 4)
+
+
+class AlignStepResult(NamedTuple):
+    pos: jnp.ndarray        # (B,) forward-strand hit position (or -1)
+    is_rev: jnp.ndarray     # (B,) hit on the reverse strand
+    n_hits: jnp.ndarray     # (B,) occurrence count of the best exact seed
+    score: jnp.ndarray      # (B,) extension score at the hit
+    mapped: jnp.ndarray     # (B,) bool
+
+
+@functools.partial(jax.jit, static_argnames=("seed_len", "window"))
+def align_step(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
+               mat: jnp.ndarray, seed_len: int = 32, window: int = 32
+               ) -> AlignStepResult:
+    """One device alignment step: seed by exact suffix match, SA-dereference,
+    fetch the implied window, extend to a full-read score.
+
+    reads: (B, L) codes; lens: (B,). The seed is the read's last ``seed_len``
+    bases (backward search); the extension scores the full read against the
+    implied reference window with band ``window``.
+    """
+    B, L = reads.shape
+    # 1) backward search on the read suffix
+    suffix_start = jnp.maximum(lens - seed_len, 0)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    seed_mask = (idx >= suffix_start[:, None]) & (idx < lens[:, None])
+    seed_lens = jnp.minimum(lens, seed_len)
+    # re-pack the suffix to the right end so exact_match_batch scans it
+    seeds = jnp.where(seed_mask, reads, 4)
+    k, l = exact_match_batch_suffix(g.fmd, seeds, suffix_start, lens)
+    n_hits = jnp.maximum(l - k + 1, 0)
+    mapped = n_hits > 0
+    # 2) SA lookup of the first hit row
+    pos_fmd = sa_lookup_batch(g, jnp.where(mapped, k, 0))
+    is_rev = pos_fmd >= g.l_pac
+    # doubled-coords start of the whole read implied by the seed hit, then
+    # project to the forward strand (reverse hits span [2L-dstart-n, 2L-dstart))
+    dstart = pos_fmd - suffix_start.astype(jnp.int64)
+    n64 = lens.astype(jnp.int64)
+    fwd_start = jnp.where(is_rev, 2 * g.l_pac - dstart - n64, dstart)
+    # 3) fetch window (read start on-diagonal; slack at the end for indels)
+    # and 4) extend the full read, banded
+    target = fetch_window_batch(g, fwd_start, L + window)
+    # orient the read to the forward strand (revcomp when reversed)
+    rev_idx = jnp.clip(lens[:, None] - 1 - idx, 0, L - 1)
+    revcomp = jnp.where(
+        idx < lens[:, None],
+        jnp.where(jnp.take_along_axis(reads, rev_idx, axis=1) < 4,
+                  3 - jnp.take_along_axis(reads, rev_idx, axis=1), 4), 4)
+    oriented = jnp.where(is_rev[:, None], revcomp, reads)
+    ext = extend_batch(
+        oriented, lens, target,
+        jnp.full((B,), L + window, jnp.int32),
+        mat, jnp.full((B,), window, jnp.int32),
+        jnp.full((B,), 0, jnp.int32) + 19)
+    pos_out = jnp.where(mapped, fwd_start, -1)
+    return AlignStepResult(pos=pos_out, is_rev=is_rev & mapped,
+                           n_hits=n_hits, score=ext.score, mapped=mapped)
+
+
+def exact_match_batch_suffix(fmd: DeviceFMIndex, reads: jnp.ndarray,
+                             start: jnp.ndarray, lens: jnp.ndarray):
+    """Backward search over reads[start:lens) per item."""
+    B, L = reads.shape
+    k0 = jnp.zeros((B,), jnp.int64)
+    l0 = jnp.full((B,), fmd.seq_len, dtype=jnp.int64)
+    span = lens - start
+
+    def step(t, kl):
+        k, l = kl
+        idx = jnp.clip(lens - 1 - t, 0, L - 1)
+        c = jnp.take_along_axis(reads, idx[:, None].astype(jnp.int32),
+                                axis=1)[:, 0].astype(jnp.int32)
+        active = (t < span) & (k <= l) & (c < 4)
+        nk, nl = backward_ext_batch(fmd, k, l, jnp.clip(c, 0, 3))
+        k = jnp.where(active, nk, k)
+        l = jnp.where(active, nl, l)
+        return (k, l)
+
+    return jax.lax.fori_loop(0, L, step, (k0, l0))
