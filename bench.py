@@ -68,15 +68,16 @@ def main() -> None:
     lens_d = jax.device_put(lens)
     mat_d = jax.device_put(mat)
 
+    use_pallas = jax.default_backend() not in ("cpu",)
     # warmup/compile
-    res = align_step(dg, reads_d, lens_d, mat_d)
+    res = align_step(dg, reads_d, lens_d, mat_d, use_pallas=use_pallas)
     jax.block_until_ready(res.score)
     mapped = int(np.sum(np.asarray(res.mapped)))
 
     iters = 5
     t0 = time.time()
     for _ in range(iters):
-        res = align_step(dg, reads_d, lens_d, mat_d)
+        res = align_step(dg, reads_d, lens_d, mat_d, use_pallas=use_pallas)
     jax.block_until_ready(res.score)
     dt = (time.time() - t0) / iters
     reads_per_s = B / dt
@@ -93,6 +94,7 @@ def main() -> None:
             "step_ms": round(dt * 1e3, 2),
             "index_build_s": round(t_index, 1),
             "device": str(jax.devices()[0]),
+            "pallas": use_pallas,
         },
     }))
 

@@ -7,6 +7,10 @@ scheme (chromosome-group index sharding) is the planned optimization for
 TPU-native 32-bit arithmetic.
 """
 
+import sys
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# Mosaic/Pallas lowering of long fori_loop kernels recurses deeply
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))

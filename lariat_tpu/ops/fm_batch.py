@@ -39,58 +39,76 @@ class DeviceFMIndex(NamedTuple):
         n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
         pad = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint8)
         pad[:n] = fm.bwt_codes
-        # pad tail with code 0? must not contaminate counts — in-block masks
-        # below always clamp to the true remainder, so padding value is moot
+        # tail padding never contaminates counts: in-block masks clamp to the
+        # true remainder
         q = pad.reshape(-1, 16).astype(np.uint32)
         shifts = (np.arange(15, -1, -1, dtype=np.uint32) * 2)
         words = np.zeros(q.shape[0], dtype=np.uint32)
         for k in range(16):
             words |= q[:, k] << shifts[k]
+        # genome coordinates fit int32 for anything below ~1 Gbp doubled;
+        # int64 (XLA-emulated on TPU) only when required
+        idx_dtype = np.int32 if fm.seq_len + 2 < 2**31 else np.int64
         return cls(
             bwt_words=jnp.asarray(words.reshape(n_blocks, WORDS_PER_BLOCK)),
-            occ_ckpt=jnp.asarray(fm.occ_ckpt.astype(np.int32)),
-            L2=jnp.asarray(fm.L2.astype(np.int64)),
-            primary=jnp.asarray(np.int64(fm.primary)),
-            seq_len=jnp.asarray(np.int64(fm.seq_len)))
+            occ_ckpt=jnp.asarray(fm.occ_ckpt.astype(idx_dtype)),
+            L2=jnp.asarray(fm.L2.astype(idx_dtype)),
+            primary=jnp.asarray(idx_dtype(fm.primary)),
+            seq_len=jnp.asarray(idx_dtype(fm.seq_len)))
+
+    @property
+    def idx_dtype(self):
+        return self.L2.dtype
 
 
 def _block_counts(words: jnp.ndarray, rem: jnp.ndarray) -> jnp.ndarray:
     """Count codes 0..3 among the first ``rem`` bases of each 8-word block.
 
-    words: (..., 8) uint32; rem: (...,) int32 in [0, 128].
-    Returns (..., 4) int32.
+    words: (..., 8) uint32; rem: (...,) int32 in [0, 128]. Returns (..., 4)
+    int32. Uses the 2-bit-field popcount trick: per word, per code c, a base
+    matches iff its 2-bit field XOR c is 00; fields past ``rem`` are forced
+    to mismatch by ORing a sentinel.
     """
-    shifts = jnp.arange(15, -1, -1, dtype=jnp.uint32) * 2
-    # (..., 8, 16) codes
-    codes = (words[..., :, None] >> shifts[None, :]) & 3
-    base_idx = (jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32)[:, None] * 16
-                + jnp.arange(16, dtype=jnp.int32)[None, :])
-    valid = base_idx < rem[..., None, None]
+    word_base = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * 16
+    # number of valid bases within each word: clamp(rem - word_base, 0, 16)
+    nvalid = jnp.clip(rem[..., None] - word_base, 0, 16)      # (..., 8)
+    # mask of the top 2*nvalid bits (base 0 is in the high bits)
+    shift = (32 - 2 * nvalid).astype(jnp.uint32)
+    keep = jnp.where(nvalid > 0,
+                     (jnp.uint32(0xFFFFFFFF) >> shift) << shift,
+                     jnp.uint32(0))
     counts = []
     for c in range(4):
-        counts.append(jnp.sum(((codes == c) & valid), axis=(-1, -2),
-                              dtype=jnp.int32))
-    return jnp.stack(counts, axis=-1)
+        pat = jnp.uint32(c * 0x55555555)
+        y = words ^ pat
+        # field == 0 iff both bits zero; indicator lands on the field's low
+        # bit (even positions), which ``keep`` covers exactly for valid fields
+        m = ~(y | (y >> 1)) & jnp.uint32(0x55555555)
+        counts.append(jax.lax.population_count(m & keep))
+    out = jnp.stack(counts, axis=-1).astype(jnp.int32)
+    return jnp.sum(out, axis=-2)
 
 
 def occ4_batch(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Batched occ4: counts of each code in physical BWT rows [0..k].
 
-    k: (...,) int64 row indices in [-1, seq_len]. Returns (..., 4) int64.
+    k: (...,) row indices in [-1, seq_len]. Returns (..., 4) in the index
+    dtype.
     """
-    k = k.astype(jnp.int64)
+    dt = fmd.idx_dtype
+    k = k.astype(dt)
     is_total = k == fmd.seq_len
     is_neg = k < 0
     kk = jnp.where(k >= fmd.primary, k - 1, k)
     kk = jnp.clip(kk, 0, fmd.seq_len - 1)
     blk = (kk + 1) // OCC_INTERVAL
     rem = ((kk + 1) % OCC_INTERVAL).astype(jnp.int32)
-    base = fmd.occ_ckpt[blk].astype(jnp.int64)          # (..., 4)
+    base = fmd.occ_ckpt[blk]                             # (..., 4)
     nb = fmd.bwt_words.shape[0]
-    words = fmd.bwt_words[jnp.clip(blk, 0, nb - 1)]     # (..., 8)
-    inblock = _block_counts(words, rem).astype(jnp.int64)
+    words = fmd.bwt_words[jnp.clip(blk, 0, nb - 1)]      # (..., 8)
+    inblock = _block_counts(words, rem).astype(dt)
     out = base + inblock
-    total = (fmd.L2[1:5] - fmd.L2[0:4]).astype(jnp.int64)
+    total = fmd.L2[1:5] - fmd.L2[0:4]
     out = jnp.where(is_total[..., None], total, out)
     out = jnp.where(is_neg[..., None], 0, out)
     return out
@@ -104,7 +122,7 @@ def backward_ext_batch(fmd: DeviceFMIndex, k: jnp.ndarray, l: jnp.ndarray,
     """
     occ_km1 = occ4_batch(fmd, k - 1)
     occ_l = occ4_batch(fmd, l)
-    l2c = fmd.L2[c].astype(jnp.int64)
+    l2c = fmd.L2[c]
     cm = c[..., None].astype(jnp.int32)
     nk = l2c + jnp.take_along_axis(occ_km1, cm, axis=-1)[..., 0] + 1
     nl = l2c + jnp.take_along_axis(occ_l, cm, axis=-1)[..., 0]
@@ -119,14 +137,16 @@ def bwt_extend_batch(fmd: DeviceFMIndex, x0: jnp.ndarray, x1: jnp.ndarray,
     Returns (ok0, ok1, oks) each of shape (..., 4) — indexed by the
     rank-query base, like the host ``seeding.bwt_extend``.
     """
-    qpos = x0 if is_back else x1
+    dt = fmd.idx_dtype
+    qpos = (x0 if is_back else x1).astype(dt)
+    s = s.astype(dt)
     tk = occ4_batch(fmd, qpos - 1)
     tl = occ4_batch(fmd, qpos - 1 + s)
     sizes = tl - tk
-    starts = fmd.L2[:4].astype(jnp.int64)[None, :] + 1 + tk
+    starts = fmd.L2[:4][None, :] + 1 + tk
     crosses = ((qpos <= fmd.primary)
-               & (qpos + s - 1 >= fmd.primary)).astype(jnp.int64)
-    other_base = x1 if is_back else x0
+               & (qpos + s - 1 >= fmd.primary)).astype(dt)
+    other_base = (x1 if is_back else x0).astype(dt)
     o3 = other_base + crosses
     o2 = o3 + sizes[..., 3]
     o1 = o2 + sizes[..., 2]
@@ -146,8 +166,9 @@ def exact_match_batch(fmd: DeviceFMIndex, reads: jnp.ndarray,
     intervals (empty when k > l).
     """
     B, L = reads.shape
-    k0 = jnp.zeros((B,), jnp.int64)
-    l0 = jnp.full((B,), fmd.seq_len, dtype=jnp.int64)
+    dt = fmd.idx_dtype
+    k0 = jnp.zeros((B,), dt)
+    l0 = jnp.full((B,), fmd.seq_len, dtype=dt)
 
     def step(t, kl):
         k, l = kl

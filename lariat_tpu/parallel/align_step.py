@@ -23,6 +23,7 @@ from ..index.fmindex import FMIndex
 from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch,
                             exact_match_batch, occ4_batch)
 from ..ops.sw_batch import extend_batch
+from ..ops.sw_extend_pallas import extend_batch_pallas
 
 
 class DeviceGenome(NamedTuple):
@@ -35,17 +36,19 @@ class DeviceGenome(NamedTuple):
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceGenome":
-        return cls(fmd=DeviceFMIndex.from_host(fm),
+        fmd = DeviceFMIndex.from_host(fm)
+        dt = np.int32 if fm.seq_len + 2 < 2**31 else np.int64
+        return cls(fmd=fmd,
                    pac_bytes=jnp.asarray(fm.pac),
-                   sa_samples=jnp.asarray(fm.sa_samples),
-                   sa_intv=jnp.asarray(np.int64(fm.sa_intv)),
-                   l_pac=jnp.asarray(np.int64(fm.l_pac)))
+                   sa_samples=jnp.asarray(fm.sa_samples.astype(dt)),
+                   sa_intv=jnp.asarray(dt(fm.sa_intv)),
+                   l_pac=jnp.asarray(dt(fm.l_pac)))
 
 
 def _bwt_code_at(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Physical BWT code at row k (sentinel-adjusted), batched."""
     kx = jnp.where(k > fmd.primary, k - 1, k)
-    word = fmd.bwt_words.reshape(-1)[(kx >> 4).astype(jnp.int32)]
+    word = fmd.bwt_words.reshape(-1)[(kx >> 4)]
     shift = ((15 - (kx & 15)) * 2).astype(jnp.uint32)
     return ((word >> shift) & 3).astype(jnp.int32)
 
@@ -68,7 +71,7 @@ def sa_lookup_batch(g: DeviceGenome, k: jnp.ndarray,
         k, steps, done, it = state
         c = _bwt_code_at(fmd, k)
         occ = occ4_batch(fmd, k)
-        lf = fmd.L2[c].astype(jnp.int64) + jnp.take_along_axis(
+        lf = fmd.L2[c] + jnp.take_along_axis(
             occ, c[..., None], axis=-1)[..., 0]
         lf = jnp.where(k == fmd.primary, 0, lf)
         nk = jnp.where(done, k, lf)
@@ -79,7 +82,7 @@ def sa_lookup_batch(g: DeviceGenome, k: jnp.ndarray,
     done0 = (k % g.sa_intv) == 0
     k, steps, _, _ = jax.lax.while_loop(
         cond, body, (k, jnp.zeros_like(k), done0, jnp.int32(0)))
-    return g.sa_samples[(k // g.sa_intv).astype(jnp.int64)] + steps
+    return g.sa_samples[(k // g.sa_intv).astype(jnp.int32)] + steps
 
 
 def fetch_window_batch(g: DeviceGenome, start: jnp.ndarray,
@@ -88,11 +91,11 @@ def fetch_window_batch(g: DeviceGenome, start: jnp.ndarray,
 
     Out-of-range positions yield code 4 (N) so they never match.
     """
-    offs = jnp.arange(length, dtype=jnp.int64)[None, :]
+    offs = jnp.arange(length, dtype=start.dtype)[None, :]
     pos = start[:, None] + offs
     valid = (pos >= 0) & (pos < g.l_pac)
     p = jnp.clip(pos, 0, g.l_pac - 1)
-    byte = g.pac_bytes[(p >> 2).astype(jnp.int64)]
+    byte = g.pac_bytes[(p >> 2)]
     shift = ((3 - (p & 3)) * 2).astype(jnp.uint8)
     codes = (byte >> shift) & 3
     return jnp.where(valid, codes.astype(jnp.int32), 4)
@@ -106,10 +109,11 @@ class AlignStepResult(NamedTuple):
     mapped: jnp.ndarray     # (B,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("seed_len", "window"))
+@functools.partial(jax.jit, static_argnames=("seed_len", "window",
+                                             "use_pallas"))
 def align_step(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
-               mat: jnp.ndarray, seed_len: int = 32, window: int = 32
-               ) -> AlignStepResult:
+               mat: jnp.ndarray, seed_len: int = 32, window: int = 32,
+               use_pallas: bool = False) -> AlignStepResult:
     """One device alignment step: seed by exact suffix match, SA-dereference,
     fetch the implied window, extend to a full-read score.
 
@@ -125,7 +129,8 @@ def align_step(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
     seed_lens = jnp.minimum(lens, seed_len)
     # re-pack the suffix to the right end so exact_match_batch scans it
     seeds = jnp.where(seed_mask, reads, 4)
-    k, l = exact_match_batch_suffix(g.fmd, seeds, suffix_start, lens)
+    k, l = exact_match_batch_suffix(g.fmd, seeds, suffix_start, lens,
+                                    max_iters=seed_len)
     n_hits = jnp.maximum(l - k + 1, 0)
     mapped = n_hits > 0
     # 2) SA lookup of the first hit row
@@ -133,8 +138,8 @@ def align_step(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
     is_rev = pos_fmd >= g.l_pac
     # doubled-coords start of the whole read implied by the seed hit, then
     # project to the forward strand (reverse hits span [2L-dstart-n, 2L-dstart))
-    dstart = pos_fmd - suffix_start.astype(jnp.int64)
-    n64 = lens.astype(jnp.int64)
+    dstart = pos_fmd - suffix_start.astype(pos_fmd.dtype)
+    n64 = lens.astype(pos_fmd.dtype)
     fwd_start = jnp.where(is_rev, 2 * g.l_pac - dstart - n64, dstart)
     # 3) fetch window (read start on-diagonal; slack at the end for indels)
     # and 4) extend the full read, banded
@@ -146,7 +151,8 @@ def align_step(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
         jnp.where(jnp.take_along_axis(reads, rev_idx, axis=1) < 4,
                   3 - jnp.take_along_axis(reads, rev_idx, axis=1), 4), 4)
     oriented = jnp.where(is_rev[:, None], revcomp, reads)
-    ext = extend_batch(
+    ext_fn = extend_batch_pallas if use_pallas else extend_batch
+    ext = ext_fn(
         oriented, lens, target,
         jnp.full((B,), L + window, jnp.int32),
         mat, jnp.full((B,), window, jnp.int32),
@@ -157,11 +163,13 @@ def align_step(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
 
 
 def exact_match_batch_suffix(fmd: DeviceFMIndex, reads: jnp.ndarray,
-                             start: jnp.ndarray, lens: jnp.ndarray):
+                             start: jnp.ndarray, lens: jnp.ndarray,
+                             max_iters: int = None):
     """Backward search over reads[start:lens) per item."""
     B, L = reads.shape
-    k0 = jnp.zeros((B,), jnp.int64)
-    l0 = jnp.full((B,), fmd.seq_len, dtype=jnp.int64)
+    dt = fmd.idx_dtype
+    k0 = jnp.zeros((B,), dt)
+    l0 = jnp.full((B,), fmd.seq_len, dtype=dt)
     span = lens - start
 
     def step(t, kl):
@@ -175,4 +183,5 @@ def exact_match_batch_suffix(fmd: DeviceFMIndex, reads: jnp.ndarray,
         l = jnp.where(active, nl, l)
         return (k, l)
 
-    return jax.lax.fori_loop(0, L, step, (k0, l0))
+    return jax.lax.fori_loop(0, L if max_iters is None else min(L, max_iters),
+                             step, (k0, l0))
