@@ -114,6 +114,44 @@ def occ4_batch(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def occ1_batch(fmd: DeviceFMIndex, k: jnp.ndarray, c: jnp.ndarray
+               ) -> jnp.ndarray:
+    """Batched occ for a single code per lane (cheaper than occ4).
+
+    k: (...,) rows in [-1, seq_len]; c: (...,) codes 0..3.
+    """
+    dt = fmd.idx_dtype
+    k = k.astype(dt)
+    is_total = k == fmd.seq_len
+    is_neg = k < 0
+    kk = jnp.where(k >= fmd.primary, k - 1, k)
+    kk = jnp.clip(kk, 0, fmd.seq_len - 1)
+    blk = (kk + 1) // OCC_INTERVAL
+    rem = ((kk + 1) % OCC_INTERVAL).astype(jnp.int32)
+    base = jnp.take_along_axis(fmd.occ_ckpt[blk], c[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    nb = fmd.bwt_words.shape[0]
+    words = fmd.bwt_words[jnp.clip(blk, 0, nb - 1)]      # (..., 8)
+    word_base = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * 16
+    nvalid = jnp.clip(rem[..., None] - word_base, 0, 16)
+    shift = (32 - 2 * nvalid).astype(jnp.uint32)
+    keep = jnp.where(nvalid > 0,
+                     (jnp.uint32(0xFFFFFFFF) >> shift) << shift,
+                     jnp.uint32(0))
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    y = words ^ pat
+    m = ~(y | (y >> 1)) & jnp.uint32(0x55555555)
+    inblock = jnp.sum(jax.lax.population_count(m & keep), axis=-1,
+                      dtype=jnp.int32).astype(dt)
+    out = base + inblock
+    total = jnp.take_along_axis(
+        (fmd.L2[1:5] - fmd.L2[0:4])[None, :],
+        c.reshape(-1, 1).astype(jnp.int32), axis=-1).reshape(c.shape)
+    out = jnp.where(is_total, total, out)
+    out = jnp.where(is_neg, 0, out)
+    return out
+
+
 def backward_ext_batch(fmd: DeviceFMIndex, k: jnp.ndarray, l: jnp.ndarray,
                        c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched backward search step on [k, l] inclusive intervals.

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..index.fmindex import FMIndex
 from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch,
-                            exact_match_batch, occ4_batch)
+                            exact_match_batch, occ1_batch, occ4_batch)
 from ..ops.sw_batch import extend_batch
 from ..ops.sw_extend_pallas import extend_batch_pallas
 
@@ -29,8 +29,8 @@ from ..ops.sw_extend_pallas import extend_batch_pallas
 class DeviceGenome(NamedTuple):
     """Device pac + sampled SA alongside the FM arrays."""
     fmd: DeviceFMIndex
-    pac_bytes: jnp.ndarray    # (ceil(l_pac/4),) uint8 2-bit packed forward
-    sa_samples: jnp.ndarray   # (n_sa,) int64
+    pac_words: jnp.ndarray    # (ceil(l_pac/16),) uint32: 16 bases/word
+    sa_samples: jnp.ndarray   # (n_sa,)
     sa_intv: jnp.ndarray      # ()
     l_pac: jnp.ndarray        # ()
 
@@ -38,8 +38,15 @@ class DeviceGenome(NamedTuple):
     def from_host(cls, fm: FMIndex) -> "DeviceGenome":
         fmd = DeviceFMIndex.from_host(fm)
         dt = np.int32 if fm.seq_len + 2 < 2**31 else np.int64
+        pac = fm.pac
+        padb = (-len(pac)) % 4
+        if padb:
+            pac = np.concatenate([pac, np.zeros(padb, np.uint8)])
+        words = (pac.reshape(-1, 4).astype(np.uint32)
+                 << np.array([24, 16, 8, 0], np.uint32)).sum(
+                     axis=1, dtype=np.uint32)
         return cls(fmd=fmd,
-                   pac_bytes=jnp.asarray(fm.pac),
+                   pac_words=jnp.asarray(words),
                    sa_samples=jnp.asarray(fm.sa_samples.astype(dt)),
                    sa_intv=jnp.asarray(dt(fm.sa_intv)),
                    l_pac=jnp.asarray(dt(fm.l_pac)))
@@ -70,9 +77,7 @@ def sa_lookup_batch(g: DeviceGenome, k: jnp.ndarray,
     def body(state):
         k, steps, done, it = state
         c = _bwt_code_at(fmd, k)
-        occ = occ4_batch(fmd, k)
-        lf = fmd.L2[c] + jnp.take_along_axis(
-            occ, c[..., None], axis=-1)[..., 0]
+        lf = fmd.L2[c] + occ1_batch(fmd, k, c)
         lf = jnp.where(k == fmd.primary, 0, lf)
         nk = jnp.where(done, k, lf)
         nsteps = jnp.where(done, steps, steps + 1)
@@ -91,14 +96,24 @@ def fetch_window_batch(g: DeviceGenome, start: jnp.ndarray,
 
     Out-of-range positions yield code 4 (N) so they never match.
     """
-    offs = jnp.arange(length, dtype=start.dtype)[None, :]
-    pos = start[:, None] + offs
+    # gather at word granularity (16 bases / uint32) then unpack in-register:
+    # byte-level gathers are ~16x more gather work
+    nwords = (length + 15) // 16 + 1
+    first_byte = start >> 2
+    pw = g.pac_words
+    widx = first_byte[:, None] // 4 + jnp.arange(nwords, dtype=start.dtype)[None, :]
+    words = pw[jnp.clip(widx, 0, pw.shape[0] - 1)]       # (B, nwords) uint32
+    shifts = jnp.arange(15, -1, -1, dtype=jnp.uint32) * 2
+    codes16 = ((words[:, :, None] >> shifts[None, None, :]) & 3)
+    codes = codes16.reshape(codes16.shape[0], -1).astype(jnp.int32)
+    # align: the read starts at offset (start - 16*(first_byte//4*4... )
+    word_start = (first_byte // 4) * 16
+    off = (start - word_start).astype(jnp.int32)          # in [0, 15]
+    pick = off[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]
+    out = jnp.take_along_axis(codes, pick, axis=1)
+    pos = start[:, None] + jnp.arange(length, dtype=start.dtype)[None, :]
     valid = (pos >= 0) & (pos < g.l_pac)
-    p = jnp.clip(pos, 0, g.l_pac - 1)
-    byte = g.pac_bytes[(p >> 2)]
-    shift = ((3 - (p & 3)) * 2).astype(jnp.uint8)
-    codes = (byte >> shift) & 3
-    return jnp.where(valid, codes.astype(jnp.int32), 4)
+    return jnp.where(valid, out, 4)
 
 
 class AlignStepResult(NamedTuple):
