@@ -87,28 +87,51 @@ def main(argv=None) -> int:
         debug_tags=args.debugBamTags, first_chunk=args.first_chunk,
         version=__version__, cl=" ".join(sys.argv))
     reader = FastQReader(args.reads)
-    barcode_num = 0
-    n_pairs = 0
     t0 = time.time()
-    while True:
-        barcode_num += 1
-        reads, unique = reader.read_barcode_set(args.trim_length)
-        if reads is None:
-            break
-        if barcode_num == args.max_bcs:
-            break
-        if len(reads) > 2:
-            print(f"working on barcode {reads[0].barcode10x.decode()}  "
-                  f"num reads: {len(reads)}  doing RFA: "
-                  f"{worth_running_rfa(reads, unique)}  "
-                  f"unique_barcode {unique}")
-        result = process_barcode(engine, reads, unique, config, centromeres,
-                                 stats, args.simulated)
-        bams.dump(result.alignments, result.attach_bx)
-        n_pairs += len(reads)
+
+    def work_iter():
+        barcode_num = 0
+        while True:
+            barcode_num += 1
+            reads, unique = reader.read_barcode_set(args.trim_length)
+            if reads is None:
+                return
+            if barcode_num == args.max_bcs:
+                return
+            if len(reads) > 2:
+                print(f"working on barcode {reads[0].barcode10x.decode()}  "
+                      f"num reads: {len(reads)}  doing RFA: "
+                      f"{worth_running_rfa(reads, unique)}  "
+                      f"unique_barcode {unique}")
+            yield reads, unique
+
+    n_pairs = 0
+    n_bcs = 0
+    if args.threads > 1:
+        # worker pool over barcode groups (reference lariat.go:333-390)
+        from .parallel.host_pipeline import ParallelRunner, write_packed
+        runner = ParallelRunner(engine, config, centromeres, bams.tid,
+                                args.debugBamTags, args.simulated,
+                                args.threads)
+        for packed in runner.imap(work_iter()):
+            write_packed(bams, packed)
+            n_pairs += packed.n_reads
+            n_bcs += 1
+            stats.total += packed.stats[0]
+            stats.correct += packed.stats[1]
+            stats.total_mapq10 += packed.stats[2]
+            stats.correct_mapq10 += packed.stats[3]
+        runner.close()
+    else:
+        for reads, unique in work_iter():
+            result = process_barcode(engine, reads, unique, config,
+                                     centromeres, stats, args.simulated)
+            bams.dump(result.alignments, result.attach_bx)
+            n_pairs += len(reads)
+            n_bcs += 1
     bams.close()
     dt = time.time() - t0
-    print(f"Processed {n_pairs} read pairs across {barcode_num - 1} barcodes "
+    print(f"Processed {n_pairs} read pairs across {n_bcs} barcodes "
           f"in {dt:.1f}s ({n_pairs / max(dt, 1e-9):.1f} pairs/s)")
     if args.simulated and stats.total:
         print(f"simulated: total={stats.total} correct={stats.correct} "

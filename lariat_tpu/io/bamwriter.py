@@ -143,12 +143,13 @@ class LariatBAMs:
 
     def append_bams(self, aln: Alignment, primary: Alignment,
                     attach_bx: bool) -> None:
-        rec = self._build_record(aln, primary, attach_bx)
+        rec = build_record(aln, primary, attach_bx, self.tid, self.debug_tags)
         self.barcode_sorted.write(rec)
         self._bucket_for(aln, aln.is_unmapped()).write(rec)
 
-    def _build_record(self, aln: Alignment, primary: Alignment,
-                      attach_bx: bool) -> BAMRecord:
+
+def build_record(aln: Alignment, primary: Alignment, attach_bx: bool,
+                 tid: dict, debug_tags: bool) -> BAMRecord:
         """AppendBam (bamwriter.go:286-568)."""
         rec = BAMRecord()
         flags = 0
@@ -171,7 +172,7 @@ class LariatBAMs:
             else:
                 if mate.reversed_:
                     flags |= 0x20
-                rec.mate_ref_id = self.tid.get(mate.contig, -1)
+                rec.mate_ref_id = tid.get(mate.contig, -1)
                 rec.mate_pos = int(mate.pos)
             if aln.read1:
                 flags |= 0x40
@@ -199,7 +200,7 @@ class LariatBAMs:
 
         if aln is not primary:
             flags |= 256
-        rec.ref_id = self.tid.get(aln.contig, -1)
+        rec.ref_id = tid.get(aln.contig, -1)
         rec.mapq = aln.mapq & 0xff
         if aln.pos == -1:
             flags |= 0x4
@@ -223,11 +224,12 @@ class LariatBAMs:
         rec.cigar = cigar
         rec.seq = seq
         rec.qual = fix_qual(qual)
-        rec.aux = self._aux_tags(aln, primary, attach_bx)
+        rec.aux = build_aux_tags(aln, primary, attach_bx, debug_tags)
         return rec
 
-    def _aux_tags(self, aln: Alignment, primary: Alignment,
-                  attach_bx: bool) -> bytes:
+
+def build_aux_tags(aln: Alignment, primary: Alignment, attach_bx: bool,
+                   debug_tags: bool) -> bytes:
         fq = aln.fastq
         aux = bytearray()
         aux += aux_string(b"RX", fq.raw_barcode10x)
@@ -288,7 +290,7 @@ class LariatBAMs:
                   f"{secondary.mapq},{len(secondary.mismatch_locs) + indel_len};")
             aux += aux_string(b"SA", sa.encode())
 
-        if self.debug_tags and aln.mapq_data is not None:
+        if debug_tags and aln.mapq_data is not None:
             d = aln.mapq_data
             mate = primary.mate_alignment
             aux += aux_string(b"AA", d.active_alignments_in_molecules.encode())

@@ -1,0 +1,113 @@
+"""Multiprocess host pipeline: data-parallel workers over barcode groups.
+
+Equivalent of the reference's worker pool (lariat.go:333-390,426-440): the
+reader streams barcode sets in the main process, ``-threads`` forked workers
+run the per-barcode RFA pipeline independently (barcode atomicity is the unit
+of independence, SURVEY.md section 2.3), and finished barcodes return as
+pre-packed BAM record bytes which the main process appends to the writers in
+input order (the reference's single BamThread).
+
+The genome index is shared with workers by fork copy-on-write — the analog of
+the reference's single in-RAM bwa index shared across goroutines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import multiprocessing as mp
+from typing import Dict, List, Optional, Tuple
+
+from ..align.engine import AlignmentEngine
+from ..config import RFAConfig
+from ..io.bamwriter import build_record
+from ..io.fastq import FastQRecord
+from ..rfa.pipeline import RFAStats, process_barcode
+from ..rfa.types import Region
+
+# worker globals installed by the pool initializer (fork inherits the index)
+_G: dict = {}
+
+
+@dataclasses.dataclass
+class PackedBarcode:
+    """One barcode's output: packed records for each destination."""
+    bc_sorted: bytes                       # concatenated record bytes
+    buckets: List[Tuple[str, int, bytes]]  # (contig|'unmapped', pos, record)
+    n_reads: int
+    stats: Tuple[int, int, int, int]
+
+
+def _init_worker(engine: AlignmentEngine, config: RFAConfig,
+                 centromeres: Dict[str, Region], tid: Dict[str, int],
+                 debug_tags: bool, simulated: bool) -> None:
+    _G["engine"] = engine
+    _G["config"] = config
+    _G["centromeres"] = centromeres
+    _G["tid"] = tid
+    _G["debug_tags"] = debug_tags
+    _G["simulated"] = simulated
+
+
+def _run_one(work: Tuple[List[FastQRecord], bool]) -> PackedBarcode:
+    reads, unique = work
+    stats = RFAStats()
+    result = process_barcode(_G["engine"], reads, unique, _G["config"],
+                             _G["centromeres"], stats, _G["simulated"])
+    tid = _G["tid"]
+    debug_tags = _G["debug_tags"]
+    bc_parts: List[bytes] = []
+    buckets: List[Tuple[str, int, bytes]] = []
+    for arr in result.alignments:
+        if not arr:
+            raise RuntimeError("not all read_ids are spoken for")
+        read_output = False
+        for aln in arr:
+            if not aln.active:
+                continue
+            for out_aln in ([aln, aln.secondary] if aln.secondary is not None
+                            else [aln]):
+                rec = build_record(out_aln, aln, result.attach_bx, tid,
+                                   debug_tags).pack()
+                bc_parts.append(rec)
+                if out_aln.is_unmapped():
+                    buckets.append(("unmapped", 0, rec))
+                else:
+                    buckets.append((out_aln.contig, int(out_aln.pos), rec))
+            read_output = True
+        if not read_output:
+            raise RuntimeError("read_id has no active alignment")
+    return PackedBarcode(
+        bc_sorted=b"".join(bc_parts), buckets=buckets, n_reads=len(reads),
+        stats=(stats.total, stats.correct, stats.total_mapq10,
+               stats.correct_mapq10))
+
+
+class ParallelRunner:
+    """Ordered fan-out of barcode sets over a fork pool."""
+
+    def __init__(self, engine: AlignmentEngine, config: RFAConfig,
+                 centromeres: Dict[str, Region], tid: Dict[str, int],
+                 debug_tags: bool, simulated: bool, threads: int):
+        ctx = mp.get_context("fork")
+        self.pool = ctx.Pool(
+            processes=max(threads, 1), initializer=_init_worker,
+            initargs=(engine, config, centromeres, tid, debug_tags, simulated))
+
+    def imap(self, work_iter, chunksize: int = 1):
+        """Yield PackedBarcode results in input order."""
+        return self.pool.imap(_run_one, work_iter, chunksize)
+
+    def close(self) -> None:
+        self.pool.close()
+        self.pool.join()
+
+
+def write_packed(bams, packed: PackedBarcode) -> None:
+    """Append a finished barcode's records to the dual outputs."""
+    bams.barcode_sorted._bgzf.write(packed.bc_sorted)
+    for contig, pos, rec in packed.buckets:
+        if contig == "unmapped":
+            w = bams.position_bucketed["unmapped"][0]
+        else:
+            w = bams.position_bucketed[contig][pos // bams.position_chunk_size]
+        w._bgzf.write(rec)
