@@ -26,9 +26,12 @@ def _load_native():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH)
-                < os.path.getmtime(os.path.join(_NATIVE_DIR, "sais.cpp"))):
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("sais.cpp", "bgzf.cpp")]
+        if not os.path.exists(_LIB_PATH) or any(
+                os.path.exists(f)
+                and os.path.getmtime(_LIB_PATH) < os.path.getmtime(f)
+                for f in srcs):
             try:
                 subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                                capture_output=True)
