@@ -1,0 +1,389 @@
+"""Batch alignment engine: the real aligner path with device-batched DP.
+
+Exact-parity batching of mem_chain2aln's seed extension and mem_reg2aln's
+global realignment:
+
+The reference extends seeds *sequentially* (each seed's skip test consults
+regions produced by earlier extensions — SURVEY.md section 7 "hard parts").
+Extension RESULTS, however, do not depend on those decisions — only on the
+(seed, window) inputs. So we extend speculatively in batched waves and then
+REPLAY the sequential control flow on the host using cached results:
+
+  wave L1: left extensions of every kept seed (band w)
+  wave L2: band-doubled retries (the rare max_off overflow cases)
+  wave R1/R2: right extensions (h0 chains from the left result, which is
+              known after L; no dependence on skip decisions)
+  replay:  chain2aln's exact seed loop, consuming cached results
+  wave G:  reg2aln banded global alignments (+ band retries), device
+           traceback matrices walked on the host
+
+Results are bit-identical to AlignmentEngine (asserted by tests); only the
+schedule changes. Mate rescue still runs on the host reference path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import AlignerConfig, PairModel
+from ..index.fmindex import FMIndex
+from . import ksw
+from .chaining import Chain, chain_seeds, filter_chains
+from .engine import AlignmentEngine, OP_D, OP_M, OP_S, SingleReadAlignment
+from .extension import MAX_BAND_TRY, AlnReg, cal_max_gap
+
+MAX_EXT_LEN = 1 << 30
+
+
+@dataclasses.dataclass
+class _ExtTask:
+    key: tuple
+    query: np.ndarray
+    target: np.ndarray
+    h0: int
+    w: int
+
+
+class _ExtBatcher:
+    """Collect extension tasks, run them in one device batch."""
+
+    def __init__(self, use_pallas: bool):
+        self.tasks: List[_ExtTask] = []
+        self.results: Dict[tuple, ksw.ExtendResult] = {}
+        self.use_pallas = use_pallas
+
+    def add(self, key, query, target, h0, w):
+        self.tasks.append(_ExtTask(key, query, target, int(h0), int(w)))
+
+    def run(self, opt: AlignerConfig) -> None:
+        if not self.tasks:
+            return
+        from ..ops import sw_batch
+        B = len(self.tasks)
+        Lq = max((len(t.query) for t in self.tasks), default=1) or 1
+        Lt = max((len(t.target) for t in self.tasks), default=1) or 1
+        # pad to coarse buckets to limit recompilation
+        Lq = -(-Lq // 32) * 32
+        Lt = -(-Lt // 32) * 32
+        Bp = max(-(-B // 128) * 128, 128)
+        qa = np.zeros((Bp, Lq), np.int32)
+        ta = np.zeros((Bp, Lt), np.int32)
+        qlen = np.zeros(Bp, np.int32)
+        tlen = np.zeros(Bp, np.int32)
+        h0 = np.zeros(Bp, np.int32)
+        w = np.zeros(Bp, np.int32)
+        for i, t in enumerate(self.tasks):
+            qa[i, :len(t.query)] = t.query
+            ta[i, :len(t.target)] = t.target
+            qlen[i] = len(t.query)
+            tlen[i] = len(t.target)
+            h0[i] = t.h0
+            w[i] = t.w
+        mat = np.asarray(ksw.fill_score_matrix(opt.match_score,
+                                               opt.mismatch_penalty))
+        if self.use_pallas:
+            from ..ops.sw_extend_pallas import extend_batch_pallas
+            res = extend_batch_pallas(
+                qa, qlen, ta, tlen, mat, w, h0,
+                o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
+                end_bonus=opt.pen_clip5, zdrop=opt.zdrop,
+                match_sc=opt.match_score, mismatch_sc=-opt.mismatch_penalty)
+        else:
+            res = sw_batch.extend_batch(
+                qa, qlen, ta, tlen, mat, w, h0,
+                o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
+                end_bonus=opt.pen_clip5, zdrop=opt.zdrop)
+        score = np.asarray(res.score)
+        qle = np.asarray(res.qle)
+        tle = np.asarray(res.tle)
+        gtle = np.asarray(res.gtle)
+        gscore = np.asarray(res.gscore)
+        moff = np.asarray(res.max_off)
+        for i, t in enumerate(self.tasks):
+            self.results[t.key] = ksw.ExtendResult(
+                int(score[i]), int(qle[i]), int(tle[i]), int(gtle[i]),
+                int(gscore[i]), int(moff[i]))
+        self.tasks = []
+
+
+@dataclasses.dataclass
+class _ChainCtx:
+    chain: Chain
+    rmax0: int
+    rmax1: int
+    rseq: np.ndarray
+    srt: List[int]
+
+
+class BatchAlignmentEngine(AlignmentEngine):
+    """Drop-in engine whose DP inner loops run as device batches."""
+
+    def __init__(self, fm: FMIndex, opt: Optional[AlignerConfig] = None,
+                 pair: Optional[PairModel] = None,
+                 use_pallas: Optional[bool] = None):
+        super().__init__(fm, opt, pair)
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas
+
+    # ------------------------------------------------------------- batching
+
+    def _prepare_chains(self, q: np.ndarray) -> List[_ChainCtx]:
+        opt, fm = self.opt, self.fm
+        chains = filter_chains(opt, chain_seeds(fm, q, opt))
+        out = []
+        l_query = len(q)
+        for c in chains:
+            if not c.seeds:
+                continue
+            rmax0, rmax1 = fm.seq_len, 0
+            for t in c.seeds:
+                b = t.rbeg - (t.qbeg + cal_max_gap(opt, t.qbeg))
+                e = (t.rbeg + t.len + (l_query - t.qbeg - t.len)
+                     + cal_max_gap(opt, l_query - t.qbeg - t.len))
+                rmax0 = min(rmax0, b)
+                rmax1 = max(rmax1, e)
+            rmax0 = max(rmax0, 0)
+            rmax1 = min(rmax1, fm.seq_len)
+            if rmax0 < fm.l_pac < rmax1:
+                if c.seeds[0].rbeg < fm.l_pac:
+                    rmax1 = fm.l_pac
+                else:
+                    rmax0 = fm.l_pac
+            rseq = fm.fetch_fmd(rmax0, rmax1)
+            srt = sorted(range(len(c.seeds)),
+                         key=lambda i: (c.seeds[i].score, i), reverse=True)
+            out.append(_ChainCtx(c, rmax0, rmax1, rseq, srt))
+        return out
+
+    def align_batch(self, seqs: List[bytes]) -> List[List[AlnReg]]:
+        """Candidate regions for a batch of reads (mem_align1_core xN).
+
+        Bit-identical to calling ``align1`` per read; the DP runs in 4
+        batched device waves plus a host replay.
+        """
+        from .engine import encode_read
+        opt = self.opt
+        qs = [encode_read(s) for s in seqs]
+        ctxs: List[List[_ChainCtx]] = [
+            self._prepare_chains(q) if len(q) else [] for q in qs]
+        # ---- wave L: left extensions (band try ladder, speculative) -------
+        batcher = _ExtBatcher(self.use_pallas)
+        left_res: Dict[tuple, Dict[int, ksw.ExtendResult]] = {}
+        for ri, clist in enumerate(ctxs):
+            for ci, ctx in enumerate(clist):
+                for si in ctx.srt:
+                    s = ctx.chain.seeds[si]
+                    if s.qbeg:
+                        qseg = qs[ri][:s.qbeg][::-1].astype(np.int32)
+                        tseg = ctx.rseq[:s.rbeg - ctx.rmax0][::-1].astype(
+                            np.int32)
+                        batcher.add((ri, ci, si, "L", 0), qseg, tseg,
+                                    s.len * opt.match_score,
+                                    opt.band_width)
+        batcher.run(opt)
+        # band-doubling retries for left
+        retry = []
+        for t_key, res in list(batcher.results.items()):
+            if t_key[3] != "L" or t_key[4] != 0:
+                continue
+            if not (res.max_off < (opt.band_width >> 1) + (opt.band_width >> 2)):
+                retry.append(t_key)
+        for key in retry:
+            ri, ci, si, _, _ = key
+            ctx = ctxs[ri][ci]
+            s = ctx.chain.seeds[si]
+            qseg = qs[ri][:s.qbeg][::-1].astype(np.int32)
+            tseg = ctx.rseq[:s.rbeg - ctx.rmax0][::-1].astype(np.int32)
+            batcher.add((ri, ci, si, "L", 1), qseg, tseg,
+                        s.len * opt.match_score, opt.band_width << 1)
+        batcher.run(opt)
+
+        def left_result(ri, ci, si) -> Tuple[ksw.ExtendResult, int]:
+            """Replay the MAX_BAND_TRY ladder for one left extension."""
+            prev = -1
+            for i in range(MAX_BAND_TRY):
+                aw = opt.band_width << i
+                res = batcher.results.get((ri, ci, si, "L", i))
+                if res is None:  # retry not run => ladder stopped earlier
+                    break
+                if res.score == prev or res.max_off < (aw >> 1) + (aw >> 2):
+                    return res, aw
+                prev = res.score
+                last, law = res, aw
+            return (res, aw) if res is not None else (last, law)
+
+        # ---- wave R: right extensions (h0 from the left outcome) ----------
+        right_specs: Dict[tuple, Tuple[int, int]] = {}
+        for ri, clist in enumerate(ctxs):
+            for ci, ctx in enumerate(clist):
+                for si in ctx.srt:
+                    s = ctx.chain.seeds[si]
+                    l_query = len(qs[ri])
+                    if s.qbeg + s.len == l_query:
+                        continue
+                    if s.qbeg:
+                        # a->score after the left step is the local-extension
+                        # max regardless of the gscore (to-end) choice
+                        lres, _ = left_result(ri, ci, si)
+                        sc0 = lres.score
+                    else:
+                        sc0 = s.len * opt.match_score
+                    qe = s.qbeg + s.len
+                    re_off = s.rbeg + s.len - ctx.rmax0
+                    qseg = qs[ri][qe:].astype(np.int32)
+                    tseg = ctx.rseq[re_off:].astype(np.int32)
+                    right_specs[(ri, ci, si)] = (sc0, re_off)
+                    batcher.add((ri, ci, si, "R", 0), qseg, tseg, sc0,
+                                opt.band_width)
+        batcher.run(opt)
+        retry = []
+        for t_key, res in list(batcher.results.items()):
+            if t_key[3] != "R" or t_key[4] != 0:
+                continue
+            sc0 = right_specs[t_key[:3]][0]
+            if (res.score != sc0 and not (
+                    res.max_off
+                    < (opt.band_width >> 1) + (opt.band_width >> 2))):
+                retry.append(t_key)
+        for key in retry:
+            ri, ci, si, _, _ = key
+            ctx = ctxs[ri][ci]
+            s = ctx.chain.seeds[si]
+            sc0, re_off = right_specs[(ri, ci, si)]
+            qseg = qs[ri][s.qbeg + s.len:].astype(np.int32)
+            tseg = ctx.rseq[re_off:].astype(np.int32)
+            batcher.add((ri, ci, si, "R", 1), qseg, tseg, sc0,
+                        opt.band_width << 1)
+        batcher.run(opt)
+
+        def right_result(ri, ci, si) -> Tuple[ksw.ExtendResult, int]:
+            # C's loop reads prev = a->score, which entering the right step
+            # equals sc0 (the left outcome)
+            prev = right_specs[(ri, ci, si)][0]
+            res = law = None
+            for i in range(MAX_BAND_TRY):
+                aw = opt.band_width << i
+                r = batcher.results.get((ri, ci, si, "R", i))
+                if r is None:
+                    break
+                res, law = r, aw
+                if r.score == prev or r.max_off < (aw >> 1) + (aw >> 2):
+                    return r, aw
+                prev = r.score
+            return res, law
+
+        # ---- replay mem_chain2aln's exact sequential control flow ---------
+        out: List[List[AlnReg]] = []
+        for ri, clist in enumerate(ctxs):
+            q = qs[ri]
+            l_query = len(q)
+            regs: List[AlnReg] = []
+            for ci, ctx in enumerate(clist):
+                c = ctx.chain
+                skipped = set()
+                for order, si in enumerate(ctx.srt):
+                    s = c.seeds[si]
+                    hit = None
+                    for p in regs:
+                        if (s.rbeg < p.rb or s.rbeg + s.len > p.re
+                                or s.qbeg < p.qb or s.qbeg + s.len > p.qe):
+                            continue
+                        if s.len - p.seedlen0 > 0.1 * l_query:
+                            continue
+                        qd = s.qbeg - p.qb
+                        rd = s.rbeg - p.rb
+                        ww = min(cal_max_gap(self.opt, min(qd, rd)), p.w)
+                        if qd - rd < ww and rd - qd < ww:
+                            hit = p
+                            break
+                        qd = p.qe - (s.qbeg + s.len)
+                        rd = p.re - (s.rbeg + s.len)
+                        ww = min(cal_max_gap(self.opt, min(qd, rd)), p.w)
+                        if qd - rd < ww and rd - qd < ww:
+                            hit = p
+                            break
+                    if hit is not None:
+                        conflict = False
+                        for so in range(order):
+                            j = ctx.srt[so]
+                            if j in skipped:
+                                continue
+                            t = c.seeds[j]
+                            if t.len < s.len * 0.95:
+                                continue
+                            if (s.qbeg <= t.qbeg
+                                    and s.qbeg + s.len - t.qbeg >= s.len // 4
+                                    and t.qbeg - s.qbeg != t.rbeg - s.rbeg):
+                                conflict = True
+                                break
+                            if (t.qbeg <= s.qbeg
+                                    and t.qbeg + t.len - s.qbeg >= s.len // 4
+                                    and s.qbeg - t.qbeg != s.rbeg - t.rbeg):
+                                conflict = True
+                                break
+                        if not conflict:
+                            skipped.add(si)
+                            continue
+                    a = AlnReg(w=self.opt.band_width, rid=c.rid,
+                               frac_rep=c.frac_rep)
+                    aw0 = aw1 = self.opt.band_width
+                    if s.qbeg:
+                        res, aw0 = left_result(ri, ci, si)
+                        a.score = res.score
+                        if (res.gscore <= 0
+                                or res.gscore <= a.score - self.opt.pen_clip5):
+                            a.qb = s.qbeg - res.qle
+                            a.rb = s.rbeg - res.tle
+                            a.truesc = a.score
+                        else:
+                            a.qb = 0
+                            a.rb = s.rbeg - res.gtle
+                            a.truesc = res.gscore
+                    else:
+                        a.score = a.truesc = s.len * self.opt.match_score
+                        a.qb = 0
+                        a.rb = s.rbeg
+                    if s.qbeg + s.len != l_query:
+                        sc0 = a.score
+                        res, aw1 = right_result(ri, ci, si)
+                        qe = s.qbeg + s.len
+                        re_off = s.rbeg + s.len - ctx.rmax0
+                        a.score = res.score
+                        if (res.gscore <= 0
+                                or res.gscore <= a.score - self.opt.pen_clip3):
+                            a.qe = qe + res.qle
+                            a.re = ctx.rmax0 + re_off + res.tle
+                            a.truesc += a.score - sc0
+                        else:
+                            a.qe = l_query
+                            a.re = ctx.rmax0 + re_off + res.gtle
+                            a.truesc += res.gscore - sc0
+                    else:
+                        a.qe = l_query
+                        a.re = s.rbeg + s.len
+                    a.seedcov = 0
+                    for t in c.seeds:
+                        if (t.qbeg >= a.qb and t.qbeg + t.len <= a.qe
+                                and t.rbeg >= a.rb and t.rbeg + t.len <= a.re):
+                            a.seedcov += t.len
+                    a.w = max(aw0, aw1)
+                    a.seedlen0 = s.len
+                    regs.append(a)
+            from .extension import sort_dedup_patch
+            regs = sort_dedup_patch(self.fm, q, self.opt, regs, self.mat)
+            out.append(regs)
+        return out
+
+    def align1(self, q: np.ndarray) -> List[AlnReg]:
+        """Single-read path routed through the batch machinery."""
+        if len(q) == 0:
+            return []
+        seq = bytes(b"ACGTN"[min(c, 4)] for c in q)
+        return self.align_batch([seq])[0]
