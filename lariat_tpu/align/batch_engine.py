@@ -387,3 +387,174 @@ class BatchAlignmentEngine(AlignmentEngine):
             return []
         seq = bytes(b"ACGTN"[min(c, 4)] for c in q)
         return self.align_batch([seq])[0]
+
+    # -------------------------------------------------- batched mem_reg2aln
+
+    def reg2aln_batch(self, tasks: List[Tuple[bytes, Optional[AlnReg]]]
+                      ) -> List[SingleReadAlignment]:
+        """mem_reg2aln for many (read, region) tasks with batched global DP.
+
+        Bit-identical to calling ``reg2aln`` per task (the w2 band ladder is
+        replayed with batched waves); the no-DP all-M shortcut and NM/cigar
+        post-processing stay on the host.
+        """
+        from ..ops import sw_global_batch
+        from .engine import encode_read
+        opt, fm = self.opt, self.fm
+        out: List[Optional[SingleReadAlignment]] = [None] * len(tasks)
+
+        @dataclasses.dataclass
+        class _G:
+            idx: int
+            q: np.ndarray            # oriented query codes
+            rseq: np.ndarray         # oriented reference codes
+            rb: int
+            re: int
+            truesc: int
+            reg_w: int
+            w2: int
+            last_sc: int = -(1 << 30)
+            i: int = 0
+            score: int = 0
+            cigar: Optional[List[Tuple[int, int]]] = None
+
+        pend: List[_G] = []
+        for idx, (seq, reg) in enumerate(tasks):
+            if reg is None or reg.rb < 0 or reg.re < 0:
+                out[idx] = SingleReadAlignment()
+                continue
+            query = encode_read(seq)
+            qb, qe, rb, re = reg.qb, reg.qe, reg.rb, reg.re
+            w2 = max(
+                self._infer_bw(qe - qb, re - rb, reg.truesc, opt.match_score,
+                               opt.gap_open_del, opt.gap_extend_del),
+                self._infer_bw(qe - qb, re - rb, reg.truesc, opt.match_score,
+                               opt.gap_open_ins, opt.gap_extend_ins))
+            if w2 > opt.band_width:
+                w2 = min(w2, reg.w)
+            qseg = query[qb:qe].astype(np.int64)
+            if len(qseg) <= 0 or rb >= re or (rb < fm.l_pac < re):
+                out[idx] = self._finish_reg2aln(seq, reg, None, -1)
+                continue
+            rseq = fm.fetch_fmd(rb, re).astype(np.int64)
+            if rb >= fm.l_pac:
+                qseg = qseg[::-1].copy()
+                rseq = rseq[::-1].copy()
+            g = _G(idx=idx, q=qseg, rseq=rseq, rb=rb, re=re,
+                   truesc=reg.truesc, reg_w=reg.w, w2=w2)
+            pend.append(g)
+
+        while pend:
+            # run one ladder step for every pending task, batched by shape
+            wave = pend
+            pend = []
+            run_idx = []
+            for g in wave:
+                g.w2 = min(g.w2, opt.band_width << 2)
+                if len(g.q) == len(g.rseq) and g.w2 == 0:
+                    # no-gap shortcut: all-M cigar, summed score
+                    g.cigar = [(OP_M, len(g.q))]
+                    g.score = int(self.mat[g.rseq, g.q].sum())
+                else:
+                    run_idx.append(g)
+            if run_idx:
+                B = len(run_idx)
+                Lq = max(len(g.q) for g in run_idx)
+                Lt = max(len(g.rseq) for g in run_idx)
+                Lq = -(-Lq // 32) * 32
+                Lt = -(-Lt // 32) * 32
+                n_col = min(Lq, 2 * max(g.w2 for g in run_idx) + 1)
+                qa = np.zeros((B, Lq), np.int32)
+                ta = np.zeros((B, Lt), np.int32)
+                qlen = np.zeros(B, np.int32)
+                tlen = np.zeros(B, np.int32)
+                wv = np.zeros(B, np.int32)
+                for i, g in enumerate(run_idx):
+                    qa[i, :len(g.q)] = g.q
+                    ta[i, :len(g.rseq)] = g.rseq
+                    qlen[i] = len(g.q)
+                    tlen[i] = len(g.rseq)
+                    wv[i] = g.w2
+                res = sw_global_batch.global_batch(
+                    qa, qlen, ta, tlen, np.asarray(self.mat), wv, n_col,
+                    o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                    o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
+                zs = np.asarray(res.z)
+                begs = np.asarray(res.beg)
+                scores = np.asarray(res.score)
+                for i, g in enumerate(run_idx):
+                    g.score = int(scores[i])
+                    g.cigar = sw_global_batch.traceback(
+                        zs[i], begs[i], len(g.q), len(g.rseq), int(g.w2))
+            # replay the ladder's break conditions
+            for g in wave:
+                if (g.score == g.last_sc or g.w2 == opt.band_width << 2):
+                    done = True
+                else:
+                    g.last_sc = g.score
+                    g.w2 <<= 1
+                    g.i += 1
+                    done = not (g.i < 3
+                                and g.score < g.truesc - opt.match_score)
+                if done:
+                    seq, reg = tasks[g.idx]
+                    out[g.idx] = self._finish_reg2aln(seq, reg, g.cigar,
+                                                      g.score)
+                else:
+                    pend.append(g)
+        return out
+
+    def _finish_reg2aln(self, seq: bytes, reg: AlnReg,
+                        cigar: Optional[List[Tuple[int, int]]],
+                        score: int) -> SingleReadAlignment:
+        """Shared mem_reg2aln tail: NM walk, D squeeze, clips, position."""
+        from .engine import encode_read
+        opt, fm = self.opt, self.fm
+        query = encode_read(seq)
+        l_query = len(query)
+        qb, qe, rb, re = reg.qb, reg.qe, reg.rb, reg.re
+        NM = -1
+        if cigar is not None:
+            q = query[qb:qe].astype(np.int64)
+            rseq = fm.fetch_fmd(rb, re).astype(np.int64)
+            if rb >= fm.l_pac:
+                q = q[::-1].copy()
+                rseq = rseq[::-1].copy()
+            n_mm = n_gap = 0
+            x = y = 0
+            for k, (op, ln) in enumerate(cigar):
+                if op == OP_M:
+                    n_mm += int(np.count_nonzero(q[x:x + ln] != rseq[y:y + ln]))
+                    x += ln
+                    y += ln
+                elif op == OP_D:
+                    if 0 < k < len(cigar) - 1:
+                        n_gap += ln
+                    y += ln
+                else:
+                    x += ln
+                    n_gap += ln
+            NM = n_mm + n_gap
+        dpos = rb if rb < fm.l_pac else re - 1
+        is_rev = dpos >= fm.l_pac
+        pos = (fm.seq_len - 1 - dpos) if is_rev else dpos
+        cigar = list(cigar) if cigar else []
+        if cigar:
+            if cigar[0][0] == OP_D:
+                pos += cigar[0][1]
+                cigar.pop(0)
+            elif cigar[-1][0] == OP_D:
+                cigar.pop()
+        if qb != 0 or qe != l_query:
+            clip5 = l_query - qe if is_rev else qb
+            clip3 = qb if is_rev else l_query - qe
+            if clip5 > 0:
+                cigar.insert(0, (OP_S, clip5))
+            if clip3 > 0:
+                cigar.append((OP_S, clip3))
+        rid = fm.pos_to_contig(pos)
+        return SingleReadAlignment(
+            pos=int(pos - fm.contigs[rid].offset), rid=rid,
+            chrom=fm.contigs[rid].name, reversed_=bool(is_rev),
+            edit_distance=int(NM), cigar=tuple(cigar), score=reg.score,
+            sub=max(reg.sub, reg.csub), read_s=reg.qb, read_e=reg.qe)

@@ -168,11 +168,16 @@ class AlignmentEngine:
     def align_pair(self, seq1: bytes, seq2: bytes, score_delta: int
                    ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:
         """GoBwaMemMateSW (gobwa.go:226-337): align both reads + mate rescue."""
-        opt = self.opt
         q1 = encode_read(seq1)
         q2 = encode_read(seq2)
         regs1 = self.align1(q1) if len(q1) else []
         regs2 = self.align1(q2) if len(q2) else []
+        return self.finish_pair(q1, q2, regs1, regs2, score_delta)
+
+    def finish_pair(self, q1, q2, regs1, regs2, score_delta: int
+                    ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:
+        """Mate rescue + interpretation half of GoBwaMemMateSW."""
+        opt = self.opt
         best1 = max((r.score for r in regs1), default=0)
         best2 = max((r.score for r in regs2), default=0)
         # rescue read1 from read2's good hits (snapshot of regs2 pre-rescue)

@@ -36,12 +36,35 @@ class ChainedHit:
 
 def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
                score_delta: int) -> Tuple[List[List[ChainedHit]], str]:
-    """GetChains: per pair candidate generation incl. mate rescue."""
+    """GetChains: per pair candidate generation incl. mate rescue.
+
+    When the engine supports batching, the per-read candidate generation for
+    the whole barcode runs as one device batch; mate rescue and result
+    interpretation replay per pair (identical output).
+    """
+    pair_results = None
+    if hasattr(engine, "align_batch") and reads:
+        from ..align.engine import encode_read
+        seqs = []
+        for rec in reads:
+            seqs.append(rec.read1)
+            seqs.append(rec.read2)
+        all_regs = engine.align_batch(seqs)
+        pair_results = []
+        for i, rec in enumerate(reads):
+            q1 = encode_read(rec.read1)
+            q2 = encode_read(rec.read2)
+            pair_results.append(engine.finish_pair(
+                q1, q2, all_regs[2 * i] if len(q1) else [],
+                all_regs[2 * i + 1] if len(q2) else [], score_delta))
     out: List[List[ChainedHit]] = []
     hit_num = 0
     barcode = ""
     for i, rec in enumerate(reads):
-        ea1, ea2 = engine.align_pair(rec.read1, rec.read2, score_delta)
+        if pair_results is not None:
+            ea1, ea2 = pair_results[i]
+        else:
+            ea1, ea2 = engine.align_pair(rec.read1, rec.read2, score_delta)
         barcode = rec.barcode10x.decode()
         lst1: List[ChainedHit] = []
         for ea in ea1:
@@ -82,6 +105,18 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
     n = len(barcode_chains)
     filtered: List[List[Alignment]] = [[] for _ in range(n)]
     full: List[List[Alignment]] = [[] for _ in range(n)]
+    # batched final SW when available: one device wave for every candidate
+    sra_cache = None
+    if hasattr(engine, "reg2aln_batch"):
+        tasks = []
+        keys = []
+        for chain_list in barcode_chains:
+            for ch in chain_list:
+                if ch.ea is not None:
+                    tasks.append((ch.fastq.read1 if ch.read1
+                                  else ch.fastq.read2, ch.ea.region))
+                    keys.append(id(ch))
+        sra_cache = dict(zip(keys, engine.reg2aln_batch(tasks))) if tasks             else {}
     for chain_list in barcode_chains:
         best_score = 0
         for ch in chain_list:
@@ -90,7 +125,10 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
         for ch in chain_list:
             read_seq = ch.fastq.read1 if ch.read1 else ch.fastq.read2
             if ch.ea is not None:
-                sra = engine.reg2aln(read_seq, ch.ea.region)
+                if sra_cache is not None:
+                    sra = sra_cache[id(ch)]
+                else:
+                    sra = engine.reg2aln(read_seq, ch.ea.region)
             else:
                 sra = None
             matches = 0

@@ -56,3 +56,41 @@ def test_batch_engine_phix_golden(request):
     regs = batch.align_batch([read])[0]
     ea = batch.interpret_align(regs[0])
     assert (ea.contig, ea.offset, regs[0].score) == ("PhiX", 210, 70)
+
+
+def test_reg2aln_batch_matches_host(dup_genome):  # noqa: F811
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=False)
+    rng = np.random.default_rng(41)
+    seqs = _reads(genome, rng, n=20)
+    tasks = []
+    for seq in seqs:
+        for reg in host.align1(encode_read(seq)):
+            tasks.append((seq, reg))
+    got = batch.reg2aln_batch(tasks)
+    for (seq, reg), g in zip(tasks, got):
+        w = host.reg2aln(seq, reg)
+        assert g == w, (seq, reg)
+
+
+def test_process_barcode_batched_matches_serial(dup_genome):  # noqa: F811
+    from lariat_tpu.config import RFAConfig
+    from lariat_tpu.rfa.pipeline import process_barcode
+    from test_rfa import _make_pair
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=False)
+    reads = []
+    for i, pos in enumerate(range(1500, 3100, 200)):
+        reads.append(_make_pair(genome, pos, 300, f"m1:{i}"))
+    r1 = process_barcode(host, reads, True, RFAConfig())
+    r2 = process_barcode(batch, reads, True, RFAConfig())
+    for arr1, arr2 in zip(r1.alignments, r2.alignments):
+        assert len(arr1) == len(arr2)
+        for a1, a2 in zip(arr1, arr2):
+            assert (a1.pos, a1.aend, a1.contig, a1.reversed_, a1.score,
+                    a1.cigar, a1.mapq, a1.active, a1.is_proper,
+                    a1.duplicate) == \
+                   (a2.pos, a2.aend, a2.contig, a2.reversed_, a2.score,
+                    a2.cigar, a2.mapq, a2.active, a2.is_proper, a2.duplicate)
