@@ -134,9 +134,10 @@ class BatchAlignmentEngine(AlignmentEngine):
 
     # ------------------------------------------------------------- batching
 
-    def _prepare_chains(self, q: np.ndarray) -> List[_ChainCtx]:
+    def _prepare_chains(self, q: np.ndarray,
+                        mems=None, rbegs=None) -> List[_ChainCtx]:
         opt, fm = self.opt, self.fm
-        chains = filter_chains(opt, chain_seeds(fm, q, opt))
+        chains = filter_chains(opt, chain_seeds(fm, q, opt, mems, rbegs))
         out = []
         l_query = len(q)
         for c in chains:
@@ -169,10 +170,39 @@ class BatchAlignmentEngine(AlignmentEngine):
         batched device waves plus a host replay.
         """
         from .engine import encode_read
+        from ..index import native_ops
+        from .chaining import enumerate_occurrences
+        from .seeding import Intv
         opt = self.opt
         qs = [encode_read(s) for s in seqs]
+        # native batched seeding + one batched SA dereference for all reads
+        nonempty = [q for q in qs if len(q)]
+        seeds_per = native_ops.collect_seeds_batch(self.fm, nonempty, opt)
+        mems_per: List[Optional[List[Intv]]] = [None] * len(qs)
+        rbegs_per: List[Optional[List[int]]] = [None] * len(qs)
+        if seeds_per is not None:
+            it = iter(seeds_per)
+            all_rows = []
+            occ_info = []
+            for i, q in enumerate(qs):
+                if not len(q):
+                    continue
+                arr = next(it)
+                mems = [Intv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                             int(r[4])) for r in arr]
+                mems_per[i] = mems
+                occs = enumerate_occurrences(mems, opt)
+                occ_info.append((i, len(occs)))
+                all_rows.extend(row for _, row in occs)
+            rows = np.asarray(all_rows, dtype=np.int64)
+            rb = self.fm.sa_lookup_many(rows) if len(rows) else                 np.zeros(0, np.int64)
+            off = 0
+            for i, n in occ_info:
+                rbegs_per[i] = [int(v) for v in rb[off:off + n]]
+                off += n
         ctxs: List[List[_ChainCtx]] = [
-            self._prepare_chains(q) if len(q) else [] for q in qs]
+            self._prepare_chains(q, mems_per[i], rbegs_per[i])
+            if len(q) else [] for i, q in enumerate(qs)]
         # ---- wave L: left extensions (band try ladder, speculative) -------
         batcher = _ExtBatcher(self.use_pallas)
         left_res: Dict[tuple, Dict[int, ksw.ExtendResult]] = {}
@@ -380,6 +410,27 @@ class BatchAlignmentEngine(AlignmentEngine):
             regs = sort_dedup_patch(self.fm, q, self.opt, regs, self.mat)
             out.append(regs)
         return out
+
+    def prime_pairs(self, recs, score_delta: int) -> None:
+        """Device-batch candidate generation for many reads (across
+        barcodes); caches per-record (ea1, ea2) results that get_chains
+        consumes. Amortizes device-wave latency over many barcodes."""
+        from .engine import encode_read
+        seqs = []
+        for rec in recs:
+            seqs.append(rec.read1)
+            seqs.append(rec.read2)
+        all_regs = self.align_batch(seqs)
+        cache = getattr(self, "_pair_cache", None)
+        if cache is None:
+            cache = {}
+            self._pair_cache = cache
+        for i, rec in enumerate(recs):
+            q1 = encode_read(rec.read1)
+            q2 = encode_read(rec.read2)
+            cache[id(rec)] = self.finish_pair(
+                q1, q2, all_regs[2 * i] if len(q1) else [],
+                all_regs[2 * i + 1] if len(q2) else [], score_delta)
 
     def align1(self, q: np.ndarray) -> List[AlnReg]:
         """Single-read path routed through the batch machinery."""

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
-from typing import List
+from typing import List, Tuple
 
 import numpy as np
 
@@ -77,9 +77,30 @@ def _test_and_merge(opt: AlignerConfig, l_pac: int, c: Chain, p: Seed,
     return False
 
 
+def enumerate_occurrences(mems: List[Intv], opt: AlignerConfig
+                          ) -> List[Tuple[int, int]]:
+    """The (interval index, SA row) occurrence schedule of mem_chain's
+    dereference loop (step-sampled above max_occ)."""
+    occs: List[Tuple[int, int]] = []
+    for mi, p in enumerate(mems):
+        step = p.s // opt.max_occ if p.s > opt.max_occ else 1
+        k = 0
+        count = 0
+        while k < p.s and count < opt.max_occ:
+            occs.append((mi, p.x0 + k))
+            k += step
+            count += 1
+    return occs
+
+
 def chain_seeds(fm: FMIndex, q: np.ndarray, opt: AlignerConfig,
-                mems: List[Intv] = None) -> List[Chain]:
-    """mem_chain: SMEMs -> positioned seeds -> chains (+ frac_rep)."""
+                mems: List[Intv] = None,
+                rbegs: List[int] = None) -> List[Chain]:
+    """mem_chain: SMEMs -> positioned seeds -> chains (+ frac_rep).
+
+    ``rbegs``, when given, are precomputed SA dereferences matching
+    ``enumerate_occurrences(mems, opt)`` order (batched native lookup).
+    """
     if mems is None:
         mems = collect_intv(fm, q, opt)
     # frac_rep: fraction of the read covered by high-occurrence intervals
@@ -96,31 +117,36 @@ def chain_seeds(fm: FMIndex, q: np.ndarray, opt: AlignerConfig,
     l_rep += e - b
     frac_rep = l_rep / len(q) if len(q) else 0.0
 
+    occs = enumerate_occurrences(mems, opt)
+    if rbegs is None:
+        from ..index import native_ops
+        rows = np.array([row for _, row in occs], dtype=np.int64)
+        if len(rows):
+            nb = native_ops.sa_lookup_batch(fm, rows)
+            rbegs = (list(nb) if nb is not None
+                     else [fm.sa_lookup(int(r)) for r in rows])
+        else:
+            rbegs = []
     chains: List[Chain] = []
     chain_pos: List[int] = []  # sorted keys mirroring the kbtree
-    for p in mems:
+    for (mi, _row), rbeg in zip(occs, rbegs):
+        p = mems[mi]
         slen = p.qe - p.qb
-        step = p.s // opt.max_occ if p.s > opt.max_occ else 1
-        k = 0
-        count = 0
-        while k < p.s and count < opt.max_occ:
-            rbeg = fm.sa_lookup(p.x0 + k)
-            seed = Seed(rbeg=rbeg, qbeg=p.qb, len=slen, score=slen)
-            rid = _intv2rid(fm, rbeg, rbeg + slen)
-            if rid >= 0:
-                # find chain with the largest pos <= rbeg (kb_intervalp lower)
-                idx = bisect.bisect_right(chain_pos, rbeg) - 1
-                merged = False
-                if idx >= 0:
-                    merged = _test_and_merge(opt, fm.l_pac, chains[idx], seed, rid)
-                if not merged:
-                    nc = Chain(pos=rbeg, rid=rid, seeds=[seed],
-                               frac_rep=frac_rep)
-                    ins = bisect.bisect_right(chain_pos, rbeg)
-                    chain_pos.insert(ins, rbeg)
-                    chains.insert(ins, nc)
-            k += step
-            count += 1
+        rbeg = int(rbeg)
+        seed = Seed(rbeg=rbeg, qbeg=p.qb, len=slen, score=slen)
+        rid = _intv2rid(fm, rbeg, rbeg + slen)
+        if rid >= 0:
+            # find chain with the largest pos <= rbeg (kb_intervalp lower)
+            idx = bisect.bisect_right(chain_pos, rbeg) - 1
+            merged = False
+            if idx >= 0:
+                merged = _test_and_merge(opt, fm.l_pac, chains[idx], seed, rid)
+            if not merged:
+                nc = Chain(pos=rbeg, rid=rid, seeds=[seed],
+                           frac_rep=frac_rep)
+                ins = bisect.bisect_right(chain_pos, rbeg)
+                chain_pos.insert(ins, rbeg)
+                chains.insert(ins, nc)
     for c in chains:
         c.frac_rep = frac_rep
     return chains

@@ -143,8 +143,11 @@ def seed_strategy1(fm: FMIndex, q: np.ndarray, x: int, min_len: int,
             c = 3 - int(q[i])
             ok = bwt_extend(fm, ik, is_back=False)
             if ok[c][2] < max_intv and i - x >= min_len:
-                m = Intv(ok[c][0], ok[c][1], ok[c][2], x, i + 1)
-                return i + 1, [m]
+                # bwa keeps third-round seeds only when non-empty (x[2] > 0)
+                if ok[c][2] > 0:
+                    m = Intv(ok[c][0], ok[c][1], ok[c][2], x, i + 1)
+                    return i + 1, [m]
+                return i + 1, []
             ik = ok[c]
         else:
             return i + 1, []

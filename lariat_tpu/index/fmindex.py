@@ -105,6 +105,7 @@ class FMIndex:
         # occ checkpoints every OCC_INTERVAL bases over the physical BWT
         onehot_sums = _blocked_counts(self.bwt_codes, OCC_INTERVAL)
         self.occ_ckpt = onehot_sums  # int64[(nblocks+1), 4]: counts before block
+        self._packed_words = None
 
     # ---------------- rank / search primitives (bwa conventions) -----------
 
@@ -169,6 +170,30 @@ class FMIndex:
         c = int(self.bwt_codes[kx])
         return int(self.L2[c]) + self.occ(k, c)
 
+    @property
+    def packed_words(self) -> np.ndarray:
+        """BWT as uint32 words (16 codes/word, base 0 high bits), block-padded."""
+        if self._packed_words is None:
+            n = len(self.bwt_codes)
+            n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+            pad = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint8)
+            pad[:n] = self.bwt_codes
+            q = pad.reshape(-1, 16).astype(np.uint32)
+            shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
+            words = np.zeros(q.shape[0], dtype=np.uint32)
+            for k in range(16):
+                words |= q[:, k] << shifts[k]
+            self._packed_words = words
+        return self._packed_words
+
+    def sa_lookup_many(self, rows: np.ndarray) -> np.ndarray:
+        """Batched sa_lookup, native when available."""
+        from . import native_ops
+        out = native_ops.sa_lookup_batch(self, rows)
+        if out is not None:
+            return out
+        return np.array([self.sa_lookup(int(r)) for r in rows], dtype=np.int64)
+
     # ---------------- sequence fetch ---------------------------------------
 
     def get_seq_codes(self, start: int, end: int) -> np.ndarray:
@@ -215,7 +240,10 @@ class FMIndex:
 
     def pos_to_contig(self, pos: int) -> int:
         """tid for a forward-strand global position."""
-        offs = [c.offset for c in self.contigs]
+        offs = getattr(self, "_contig_offs", None)
+        if offs is None:
+            offs = np.array([c.offset for c in self.contigs], dtype=np.int64)
+            self._contig_offs = offs
         return int(np.searchsorted(offs, pos, side="right") - 1)
 
     # ---------------- persistence -------------------------------------------

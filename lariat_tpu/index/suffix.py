@@ -27,7 +27,7 @@ def _load_native():
         if _lib is not None:
             return _lib
         srcs = [os.path.join(_NATIVE_DIR, f)
-                for f in ("sais.cpp", "bgzf.cpp")]
+                for f in ("sais.cpp", "bgzf.cpp", "seed.cpp")]
         if not os.path.exists(_LIB_PATH) or any(
                 os.path.exists(f)
                 and os.path.getmtime(_LIB_PATH) < os.path.getmtime(f)
@@ -42,6 +42,8 @@ def _load_native():
         lib.sais_u8_i32.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32, ctypes.c_int32]
+        lib.fm_collect_seeds_batch.restype = ctypes.c_int64
+        lib.fm_sa_lookup_batch.restype = None
         lib.sais_u8_i64.restype = ctypes.c_int
         lib.sais_u8_i64.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),

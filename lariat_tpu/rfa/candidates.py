@@ -43,7 +43,10 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
     interpretation replay per pair (identical output).
     """
     pair_results = None
-    if hasattr(engine, "align_batch") and reads:
+    cache = getattr(engine, "_pair_cache", None)
+    if cache is not None and reads and id(reads[0]) in cache:
+        pair_results = [cache.pop(id(rec)) for rec in reads]
+    elif hasattr(engine, "align_batch") and reads:
         from ..align.engine import encode_read
         seqs = []
         for rec in reads:
@@ -151,16 +154,25 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
                 ops = list(cigar)
                 if reversed_:
                     ops = ops[::-1]
+                import numpy as np
+                ref_arr = np.frombuffer(ref_seq, dtype=np.uint8)
+                read_arr = np.frombuffer(read_seq, dtype=np.uint8)
                 for op, ln in ops:
                     if op == OP_M:
                         matches += ln
-                        for m in range(ln):
-                            if ref_off + m >= len(ref_seq):
-                                continue
-                            if read_off + m >= len(read_seq):
-                                raise RuntimeError(
-                                    "cigar longer than read: %r" % (cigar,))
-                            if ref_seq[ref_off + m] != read_seq[read_off + m]:
+                        # vectorized mismatch scan with the reference's
+                        # boundary semantics: positions past the fetched ref
+                        # are skipped; past the read is an invariant breach
+                        n_ref = min(ln, max(len(ref_arr) - ref_off, 0))
+                        if read_off + n_ref > len(read_arr):
+                            raise RuntimeError(
+                                "cigar longer than read: %r" % (cigar,))
+                        if n_ref > 0:
+                            diff = np.nonzero(
+                                ref_arr[ref_off:ref_off + n_ref]
+                                != read_arr[read_off:read_off + n_ref])[0]
+                            for m in diff:
+                                m = int(m)
                                 if reversed_:
                                     mismatch_locs.append(
                                         ref_end - (ref_off + m))

@@ -102,6 +102,23 @@ def process_barcode(engine: AlignmentEngine, reads: List[FastQRecord],
     return BarcodeResult(alignments, molecules, reads, True, barcode)
 
 
+def process_barcode_group(engine, barcode_sets, config: RFAConfig,
+                          centromeres=None, stats=None, simulated=False
+                          ) -> List[BarcodeResult]:
+    """Process many barcodes with one device priming pass (TPU mode).
+
+    Identical output to per-barcode processing; the candidate-generation
+    device waves run once over the whole group, amortizing per-wave latency.
+    """
+    if hasattr(engine, "prime_pairs"):
+        all_reads = [rec for reads, _ in barcode_sets for rec in reads]
+        if all_reads:
+            engine.prime_pairs(all_reads, config.chain_score_delta)
+    return [process_barcode(engine, reads, unique, config, centromeres,
+                            stats, simulated)
+            for reads, unique in barcode_sets]
+
+
 def load_centromeres(path: Optional[str]) -> Dict[str, Region]:
     """lariat.go:392-420: lines 'CEN<x>\\t<chrom>\\t<start>\\t<end>'."""
     out: Dict[str, Region] = {}

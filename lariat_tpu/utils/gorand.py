@@ -21,6 +21,7 @@ from typing import Optional
 
 import numpy as np
 
+
 RNG_LEN = 607
 RNG_TAP = 273
 INT32_MAX = (1 << 31) - 1
@@ -82,12 +83,30 @@ def _get_cooked() -> np.ndarray:
     return _cooked
 
 
+# Powers of the Park-Miller multiplier for vectorized seeding: the seedrand
+# chain is x_n = x_0 * A^n mod M, so the whole 1881-step init chain is one
+# elementwise modmul against precomputed powers.
+_N_CHAIN = 22 + 3 * RNG_LEN
+_A_POWERS: Optional[np.ndarray] = None
+
+
+def _get_powers() -> np.ndarray:
+    global _A_POWERS
+    if _A_POWERS is None:
+        p = np.empty(_N_CHAIN, dtype=np.uint64)
+        v = 1
+        for i in range(_N_CHAIN):
+            p[i] = v
+            v = (v * _A) % INT32_MAX
+        _A_POWERS = p
+    return _A_POWERS
+
+
 class GoRand:
     """rand.New(rand.NewSource(seed)) value stream."""
 
     def __init__(self, seed: int):
         cooked = _get_cooked()
-        self.vec = [0] * RNG_LEN
         self.tap = 0
         self.feed = RNG_LEN - RNG_TAP
         seed = seed % INT32_MAX
@@ -95,17 +114,13 @@ class GoRand:
             seed += INT32_MAX
         if seed == 0:
             seed = 89482311
-        x = seed
-        for i in range(-20, RNG_LEN):
-            x = _seedrand(x)
-            if i >= 0:
-                u = (x << 40) & MASK64
-                x = _seedrand(x)
-                u ^= (x << 20) & MASK64
-                x = _seedrand(x)
-                u ^= x
-                u ^= int(cooked[i])
-                self.vec[i] = u
+        # chain[k] = seedrand^k(seed); slot i consumes chain[21+3i .. 23+3i]
+        chain = (np.uint64(seed) * _get_powers()) % np.uint64(INT32_MAX)
+        a = chain[21:21 + 3 * RNG_LEN:3]
+        b = chain[22:22 + 3 * RNG_LEN:3]
+        c = chain[23:23 + 3 * RNG_LEN:3]
+        u = (a << np.uint64(40)) ^ (b << np.uint64(20)) ^ c ^ cooked
+        self.vec = u.tolist()
 
     def uint64(self) -> int:
         self.tap -= 1

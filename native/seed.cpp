@@ -1,0 +1,360 @@
+// SMEM seeding + SA lookup over the FMD index (native hot path).
+//
+// C++ implementation of the three-round seeding strategy and the sampled-SA
+// dereference consumed by the chaining stage — the host-side equivalents of
+// the reference's C hot loops #1 (SMEM seeding inside mem_align1_core) and
+// the bwt_sa walks (SURVEY.md section 3.2). Operates directly on the numpy
+// index arrays via a view struct; exposed through a C ABI for ctypes.
+// Multithreaded across reads.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int OCC_INTERVAL = 128;
+constexpr int WORDS_PER_BLOCK = OCC_INTERVAL / 16;
+
+struct FMView {
+  const uint32_t* bwt_words;   // (n_blocks * 8)
+  const int64_t* occ_ckpt;     // (n_blocks + 1, 4)
+  const int64_t* L2;           // (5,)
+  const int64_t* sa_samples;   // (n_sa,)
+  int64_t primary;
+  int64_t seq_len;
+  int64_t sa_intv;
+};
+
+struct Intv {
+  int64_t x0, x1, s;
+  int32_t qb, qe;
+};
+
+inline int64_t occ_one(const FMView& fm, int64_t k, int c) {
+  if (k == fm.seq_len) return fm.L2[c + 1] - fm.L2[c];
+  if (k < 0) return 0;
+  if (k >= fm.primary) --k;
+  int64_t pos = k + 1;
+  int64_t blk = pos / OCC_INTERVAL;
+  int rem = static_cast<int>(pos % OCC_INTERVAL);
+  int64_t cnt = fm.occ_ckpt[blk * 4 + c];
+  const uint32_t* w = fm.bwt_words + blk * WORDS_PER_BLOCK;
+  uint32_t pat = 0x55555555u * static_cast<uint32_t>(c);
+  int full = rem / 16;
+  for (int i = 0; i < full; ++i) {
+    uint32_t y = w[i] ^ pat;
+    uint32_t m = ~(y | (y >> 1)) & 0x55555555u;
+    cnt += __builtin_popcount(m);
+  }
+  int tail = rem % 16;
+  if (tail) {
+    uint32_t y = w[full] ^ pat;
+    uint32_t m = ~(y | (y >> 1)) & 0x55555555u;
+    uint32_t keep = (0xFFFFFFFFu >> (32 - 2 * tail)) << (32 - 2 * tail);
+    cnt += __builtin_popcount(m & keep);
+  }
+  return cnt;
+}
+
+inline void occ_four(const FMView& fm, int64_t k, int64_t out[4]) {
+  if (k == fm.seq_len) {
+    for (int c = 0; c < 4; ++c) out[c] = fm.L2[c + 1] - fm.L2[c];
+    return;
+  }
+  if (k < 0) {
+    for (int c = 0; c < 4; ++c) out[c] = 0;
+    return;
+  }
+  if (k >= fm.primary) --k;
+  int64_t pos = k + 1;
+  int64_t blk = pos / OCC_INTERVAL;
+  int rem = static_cast<int>(pos % OCC_INTERVAL);
+  const uint32_t* w = fm.bwt_words + blk * WORDS_PER_BLOCK;
+  for (int c = 0; c < 4; ++c) out[c] = fm.occ_ckpt[blk * 4 + c];
+  int full = rem / 16;
+  for (int c = 0; c < 4; ++c) {
+    uint32_t pat = 0x55555555u * static_cast<uint32_t>(c);
+    int64_t cnt = 0;
+    for (int i = 0; i < full; ++i) {
+      uint32_t y = w[i] ^ pat;
+      cnt += __builtin_popcount(~(y | (y >> 1)) & 0x55555555u);
+    }
+    int tail = rem % 16;
+    if (tail) {
+      uint32_t y = w[full] ^ pat;
+      uint32_t m = ~(y | (y >> 1)) & 0x55555555u;
+      uint32_t keep = (0xFFFFFFFFu >> (32 - 2 * tail)) << (32 - 2 * tail);
+      cnt += __builtin_popcount(m & keep);
+    }
+    out[c] += cnt;
+  }
+}
+
+// bwt_extend: bidirectional extension producing intervals for all 4 codes.
+inline void bwt_extend(const FMView& fm, const Intv& ik, Intv ok[4],
+                       bool is_back) {
+  int64_t qpos = is_back ? ik.x0 : ik.x1;
+  int64_t tk[4], tl[4];
+  occ_four(fm, qpos - 1, tk);
+  occ_four(fm, qpos - 1 + ik.s, tl);
+  int64_t sizes[4], starts[4];
+  for (int c = 0; c < 4; ++c) {
+    sizes[c] = tl[c] - tk[c];
+    starts[c] = fm.L2[c] + 1 + tk[c];
+  }
+  int64_t crosses =
+      (qpos <= fm.primary && qpos + ik.s - 1 >= fm.primary) ? 1 : 0;
+  int64_t other_base = is_back ? ik.x1 : ik.x0;
+  int64_t other[4];
+  other[3] = other_base + crosses;
+  other[2] = other[3] + sizes[3];
+  other[1] = other[2] + sizes[2];
+  other[0] = other[1] + sizes[1];
+  for (int c = 0; c < 4; ++c) {
+    if (is_back) {
+      ok[c].x0 = starts[c];
+      ok[c].x1 = other[c];
+    } else {
+      ok[c].x0 = other[c];
+      ok[c].x1 = starts[c];
+    }
+    ok[c].s = sizes[c];
+  }
+}
+
+inline void set_intv(const FMView& fm, int c, Intv& ik) {
+  ik.x0 = fm.L2[c] + 1;
+  ik.x1 = fm.L2[3 - c] + 1;
+  ik.s = fm.L2[c + 1] - fm.L2[c];
+}
+
+// bwt_smem1a: all SMEMs covering position x. Returns the next scan position.
+int smem1a(const FMView& fm, const uint8_t* q, int len, int x,
+           int64_t min_intv, uint64_t max_intv, std::vector<Intv>& mems,
+           std::vector<Intv>& prev, std::vector<Intv>& curr) {
+  mems.clear();
+  if (q[x] > 3) return x + 1;
+  if (min_intv < 1) min_intv = 1;
+  Intv ik, ok[4];
+  set_intv(fm, q[x], ik);
+  ik.qe = x + 1;
+  curr.clear();
+  int i;
+  for (i = x + 1; i < len; ++i) {
+    if (max_intv && static_cast<uint64_t>(ik.s) < max_intv) {
+      curr.push_back(ik);
+      break;
+    } else if (q[i] < 4) {
+      int c = 3 - q[i];
+      bwt_extend(fm, ik, ok, false);
+      if (ok[c].s != ik.s) {
+        curr.push_back(ik);
+        if (ok[c].s < min_intv) break;
+      }
+      ok[c].qe = i + 1;
+      ik = ok[c];
+    } else {
+      curr.push_back(ik);
+      break;
+    }
+  }
+  if (i == len) curr.push_back(ik);
+  std::reverse(curr.begin(), curr.end());
+  int ret = curr[0].qe;
+  std::swap(prev, curr);
+
+  for (i = x - 1; i >= -1; --i) {
+    int c = (i < 0 || q[i] > 3) ? -1 : q[i];
+    curr.clear();
+    for (size_t j = 0; j < prev.size(); ++j) {
+      const Intv& p = prev[j];
+      bool did_ext = false;
+      if (c >= 0 && static_cast<uint64_t>(p.s) >= max_intv) {
+        bwt_extend(fm, p, ok, true);
+        did_ext = true;
+      }
+      if (c < 0 || static_cast<uint64_t>(p.s) < max_intv ||
+          (did_ext && ok[c].s < min_intv)) {
+        if (curr.empty()) {
+          if (mems.empty() || i + 1 < mems.back().qb) {
+            Intv m = p;
+            m.qb = i + 1;
+            mems.push_back(m);
+          }
+        }
+      } else if (curr.empty() || ok[c].s != curr.back().s) {
+        ok[c].qe = p.qe;
+        curr.push_back(ok[c]);
+      }
+    }
+    if (curr.empty()) break;
+    std::swap(prev, curr);
+  }
+  std::reverse(mems.begin(), mems.end());
+  return ret;
+}
+
+// bwt_seed_strategy1: LAST-like forward-greedy third-round seeding.
+int seed_strategy1(const FMView& fm, const uint8_t* q, int len, int x,
+                   int min_len, int64_t max_intv, Intv* mem, bool* found) {
+  *found = false;
+  if (q[x] > 3) return x + 1;
+  Intv ik, ok[4];
+  set_intv(fm, q[x], ik);
+  for (int i = x + 1; i < len; ++i) {
+    if (q[i] < 4) {
+      int c = 3 - q[i];
+      bwt_extend(fm, ik, ok, false);
+      if (ok[c].s < max_intv && i - x >= min_len) {
+        *mem = ok[c];
+        mem->qb = x;
+        mem->qe = i + 1;
+        *found = true;
+        return i + 1;
+      }
+      ik = ok[c];
+    } else {
+      return i + 1;
+    }
+  }
+  return len;
+}
+
+// mem_collect_intv: three seeding passes + (qb, qe) sort.
+void collect_intv(const FMView& fm, const uint8_t* q, int len,
+                  int min_seed_len, double split_factor, int split_width,
+                  int64_t max_mem_intv, std::vector<Intv>& mems) {
+  mems.clear();
+  std::vector<Intv> m1, tmp_prev, tmp_curr;
+  int split_len = static_cast<int>(min_seed_len * split_factor + 0.499);
+  int x = 0;
+  while (x < len) {
+    if (q[x] < 4) {
+      x = smem1a(fm, q, len, x, 1, 0, m1, tmp_prev, tmp_curr);
+      for (const Intv& p : m1)
+        if (p.qe - p.qb >= min_seed_len) mems.push_back(p);
+    } else {
+      ++x;
+    }
+  }
+  size_t old_n = mems.size();
+  for (size_t k = 0; k < old_n; ++k) {
+    Intv p = mems[k];
+    if (p.qe - p.qb < split_len || p.s > split_width) continue;
+    smem1a(fm, q, len, (p.qb + p.qe) >> 1, p.s + 1, 0, m1, tmp_prev,
+           tmp_curr);
+    for (const Intv& m : m1)
+      if (m.qe - m.qb >= min_seed_len) mems.push_back(m);
+  }
+  if (max_mem_intv > 0) {
+    x = 0;
+    while (x < len) {
+      if (q[x] < 4) {
+        Intv m;
+        bool found;
+        x = seed_strategy1(fm, q, len, x, min_seed_len, max_mem_intv, &m,
+                           &found);
+        if (found && m.s > 0) mems.push_back(m);
+      } else {
+        ++x;
+      }
+    }
+  }
+  std::stable_sort(mems.begin(), mems.end(),
+                   [](const Intv& a, const Intv& b) {
+                     return a.qb != b.qb ? a.qb < b.qb : a.qe < b.qe;
+                   });
+}
+
+inline int bwt_code_at(const FMView& fm, int64_t k) {
+  int64_t kx = k > fm.primary ? k - 1 : k;
+  uint32_t word = fm.bwt_words[kx >> 4];
+  int shift = (15 - static_cast<int>(kx & 15)) * 2;
+  return (word >> shift) & 3;
+}
+
+int64_t sa_lookup(const FMView& fm, int64_t k) {
+  int64_t steps = 0;
+  while (k % fm.sa_intv != 0) {
+    ++steps;
+    if (k == fm.primary) {
+      k = 0;
+    } else {
+      int c = bwt_code_at(fm, k);
+      k = fm.L2[c] + occ_one(fm, k, c);
+    }
+  }
+  return fm.sa_samples[k / fm.sa_intv] + steps;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Seed a batch of reads. reads: concatenated codes; offsets[i]..offsets[i+1]
+// delimit read i (n_reads+1 entries). Results go to out (cap_out Intv slots
+// as 5 int64 each: x0, x1, s, qb, qe) with out_counts[i] per read and
+// out_offsets[i] giving read i's slot start. Returns total seeds or -1 if
+// capacity exceeded.
+int64_t fm_collect_seeds_batch(
+    const uint32_t* bwt_words, const int64_t* occ_ckpt, const int64_t* L2,
+    const int64_t* sa_samples, int64_t primary, int64_t seq_len,
+    int64_t sa_intv, const uint8_t* reads, const int64_t* offsets,
+    int64_t n_reads, int min_seed_len, double split_factor, int split_width,
+    int64_t max_mem_intv, int64_t* out, int64_t cap_out, int64_t* out_counts,
+    int64_t* out_offsets, int n_threads) {
+  FMView fm{bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv};
+  std::vector<std::vector<Intv>> per_read(n_reads);
+  int workers = static_cast<int>(std::max<int64_t>(1, std::min<int64_t>(n_threads, n_reads)));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < workers; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int64_t r = t; r < n_reads; r += workers) {
+        const uint8_t* q = reads + offsets[r];
+        int len = static_cast<int>(offsets[r + 1] - offsets[r]);
+        if (len > 0)
+          collect_intv(fm, q, len, min_seed_len, split_factor, split_width,
+                       max_mem_intv, per_read[r]);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    out_offsets[r] = total;
+    out_counts[r] = static_cast<int64_t>(per_read[r].size());
+    if (total + out_counts[r] > cap_out) return -1;
+    for (const Intv& m : per_read[r]) {
+      int64_t* o = out + total * 5;
+      o[0] = m.x0;
+      o[1] = m.x1;
+      o[2] = m.s;
+      o[3] = m.qb;
+      o[4] = m.qe;
+      ++total;
+    }
+  }
+  return total;
+}
+
+// Batched sampled-SA dereference.
+void fm_sa_lookup_batch(const uint32_t* bwt_words, const int64_t* occ_ckpt,
+                        const int64_t* L2, const int64_t* sa_samples,
+                        int64_t primary, int64_t seq_len, int64_t sa_intv,
+                        const int64_t* rows, int64_t n, int64_t* out,
+                        int n_threads) {
+  FMView fm{bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv};
+  int workers = static_cast<int>(std::max<int64_t>(1, std::min<int64_t>(n_threads, n)));
+  std::vector<std::thread> threads;
+  for (int t = 0; t < workers; ++t) {
+    threads.emplace_back([&, t]() {
+      for (int64_t i = t; i < n; i += workers) out[i] = sa_lookup(fm, rows[i]);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
