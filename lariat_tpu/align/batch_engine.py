@@ -411,6 +411,24 @@ class BatchAlignmentEngine(AlignmentEngine):
             out.append(regs)
         return out
 
+    def prime_regions(self, recs) -> List[Tuple[list, list]]:
+        """Device-batch candidate regions for many read pairs (no rescue).
+
+        Returns per-pair (regs1, regs2) suitable for shipping to worker
+        processes, which run finish_pair (mate rescue) + RFA there.
+        """
+        from .engine import encode_read
+        seqs = []
+        for rec in recs:
+            seqs.append(rec.read1)
+            seqs.append(rec.read2)
+        all_regs = self.align_batch(seqs)
+        out = []
+        for i, rec in enumerate(recs):
+            out.append((all_regs[2 * i] if len(rec.read1) else [],
+                        all_regs[2 * i + 1] if len(rec.read2) else []))
+        return out
+
     def prime_pairs(self, recs, score_delta: int) -> None:
         """Device-batch candidate generation for many reads (across
         barcodes); caches per-record (ea1, ea2) results that get_chains

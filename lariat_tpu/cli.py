@@ -49,7 +49,24 @@ def build_parser() -> argparse.ArgumentParser:
     a("-first_chunk", "--first_chunk", action="store_true")
     a("-index", "--index", default="",
       help="optional prebuilt index prefix (.lariat.npz or bwa-format)")
+    a("-use_device", "--use_device", choices=["auto", "on", "off"],
+      default="auto",
+      help="prime candidate-generation DP on the accelerator (auto: when a "
+           "non-CPU jax backend is present)")
     return p
+
+
+def _prime_group(device_engine, buf, config):
+    """Run one device priming pass over a group of barcodes; attach the
+    per-pair candidate regions to each work item."""
+    all_reads = [rec for reads, _ in buf for rec in reads]
+    primes = device_engine.prime_regions(all_reads)
+    off = 0
+    out = []
+    for reads, unique in buf:
+        out.append((reads, unique, primes[off:off + len(reads)]))
+        off += len(reads)
+    return out
 
 
 def load_reference(genome: str, index_prefix: str = ""):
@@ -108,12 +125,43 @@ def main(argv=None) -> int:
     n_pairs = 0
     n_bcs = 0
     if args.threads > 1:
-        # worker pool over barcode groups (reference lariat.go:333-390)
+        # worker pool over barcode groups (reference lariat.go:333-390);
+        # with a device available, candidate-generation DP is primed on it in
+        # the main process and workers run rescue + RFA + emission
         from .parallel.host_pipeline import ParallelRunner, write_packed
+        device_engine = None
+        if args.use_device != "off":
+            try:
+                import jax
+                if jax.default_backend() != "cpu" or args.use_device == "on":
+                    from .align.batch_engine import BatchAlignmentEngine
+                    device_engine = BatchAlignmentEngine(fm)
+                    print(f"device priming on {jax.devices()[0]}")
+            except Exception as e:  # no usable device: run host-only workers
+                if args.use_device == "on":
+                    raise
+                print(f"device priming unavailable ({e}); host-only workers")
         runner = ParallelRunner(engine, config, centromeres, bams.tid,
                                 args.debugBamTags, args.simulated,
                                 args.threads)
-        for packed in runner.imap(work_iter()):
+
+        def primed_iter():
+            if device_engine is None:
+                yield from work_iter()
+                return
+            buf = []
+            pending = 0
+            for item in work_iter():
+                buf.append(item)
+                pending += len(item[0])
+                if pending >= 4096:
+                    yield from _prime_group(device_engine, buf, config)
+                    buf = []
+                    pending = 0
+            if buf:
+                yield from _prime_group(device_engine, buf, config)
+
+        for packed in runner.imap(primed_iter()):
             write_packed(bams, packed)
             n_pairs += packed.n_reads
             n_bcs += 1

@@ -48,11 +48,12 @@ def _init_worker(engine: AlignmentEngine, config: RFAConfig,
     _G["simulated"] = simulated
 
 
-def _run_one(work: Tuple[List[FastQRecord], bool]) -> PackedBarcode:
-    reads, unique = work
+def _run_one(work) -> PackedBarcode:
+    reads, unique, primed = (work if len(work) == 3 else (*work, None))
     stats = RFAStats()
     result = process_barcode(_G["engine"], reads, unique, _G["config"],
-                             _G["centromeres"], stats, _G["simulated"])
+                             _G["centromeres"], stats, _G["simulated"],
+                             primed_regions=primed)
     tid = _G["tid"]
     debug_tags = _G["debug_tags"]
     bc_parts: List[bytes] = []

@@ -35,7 +35,8 @@ class ChainedHit:
 
 
 def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
-               score_delta: int) -> Tuple[List[List[ChainedHit]], str]:
+               score_delta: int,
+               primed_regions=None) -> Tuple[List[List[ChainedHit]], str]:
     """GetChains: per pair candidate generation incl. mate rescue.
 
     When the engine supports batching, the per-read candidate generation for
@@ -44,7 +45,14 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
     """
     pair_results = None
     cache = getattr(engine, "_pair_cache", None)
-    if cache is not None and reads and id(reads[0]) in cache:
+    if primed_regions is not None:
+        from ..align.engine import encode_read
+        pair_results = []
+        for rec, (regs1, regs2) in zip(reads, primed_regions):
+            pair_results.append(engine.finish_pair(
+                encode_read(rec.read1), encode_read(rec.read2),
+                regs1, regs2, score_delta))
+    elif cache is not None and reads and id(reads[0]) in cache:
         pair_results = [cache.pop(id(rec)) for rec in reads]
     elif hasattr(engine, "align_batch") and reads:
         from ..align.engine import encode_read

@@ -71,13 +71,15 @@ def process_barcode(engine: AlignmentEngine, reads: List[FastQRecord],
                     unique_barcode: bool, config: RFAConfig,
                     centromeres: Optional[Dict[str, Region]] = None,
                     stats: Optional[RFAStats] = None,
-                    simulated: bool = False) -> BarcodeResult:
+                    simulated: bool = False,
+                    primed_regions=None) -> BarcodeResult:
     """Full per-barcode flow: candidates -> initial pick -> RFA -> MAPQ ->
     dups -> split reads."""
     centromeres = centromeres or {}
     ipp = config.improper_pair_penalty
     worth = worth_running_rfa(reads, unique_barcode)
-    chains, barcode = get_chains(engine, reads, config.chain_score_delta)
+    chains, barcode = get_chains(engine, reads, config.chain_score_delta,
+                                 primed_regions)
     alignments, stashed = get_alignments(engine, chains,
                                          config.alignment_score_delta, ipp)
     positions = tag_best_alignments(alignments, -17)

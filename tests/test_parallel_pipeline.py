@@ -51,3 +51,22 @@ def test_parallel_matches_serial(tmp_path):
         a = gz.open(out1 / name, "rb").read()
         b = gz.open(out2 / name, "rb").read()
         assert a == b, f"{name} differs between serial and parallel"
+
+
+def test_device_primed_parallel_matches_serial(tmp_path):
+    """-use_device on (CPU jax backend) must still produce identical BAMs."""
+    fasta, fq = _mkdata(tmp_path)
+    out1 = tmp_path / "serial2"
+    out2 = tmp_path / "primed"
+    base = ["-reads", str(fq), "-genome", str(fasta), "-first_chunk",
+            "-read_groups", "s:l:1:fc:1"]
+    assert cli.main(base + ["-output", str(out1), "-threads", "1"]) == 0
+    assert cli.main(base + ["-output", str(out2), "-threads", "2",
+                            "-use_device", "on"]) == 0
+    import glob
+    import gzip as gz
+    for name in sorted(p.split("/")[-1]
+                       for p in glob.glob(str(out1 / "*.bam"))):
+        a = gz.open(out1 / name, "rb").read()
+        b = gz.open(out2 / name, "rb").read()
+        assert a == b, name
