@@ -102,7 +102,14 @@ def chain_seeds(fm: FMIndex, q: np.ndarray, opt: AlignerConfig,
     ``enumerate_occurrences(mems, opt)`` order (batched native lookup).
     """
     if mems is None:
-        mems = collect_intv(fm, q, opt)
+        from ..index import native_ops
+        nat = native_ops.collect_seeds_batch(fm, [np.asarray(q, np.uint8)],
+                                             opt)
+        if nat is not None:
+            mems = [Intv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                         int(r[4])) for r in nat[0]]
+        else:
+            mems = collect_intv(fm, q, opt)
     # frac_rep: fraction of the read covered by high-occurrence intervals
     l_rep = 0
     b = e = 0
