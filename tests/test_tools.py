@@ -35,7 +35,8 @@ def test_check_harness(tmp_path):
     log = tmp_path / "check_log.txt"
     res = subprocess.run(
         [sys.executable, "tools/check.py", "-reads", str(fq), "-genome",
-         str(fasta), "-output", str(out), "-log", str(log)],
+         str(fasta), "-output", str(out), "-log", str(log),
+         "-threads", "1"],
         capture_output=True, text=True, cwd="/root/repo")
     assert res.returncode == 0, res.stderr[-2000:]
     assert "Unmapped       : 0.000000" in res.stdout

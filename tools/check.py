@@ -66,6 +66,7 @@ def main(argv=None) -> int:
     p.add_argument("-output", "--output", default="check_out")
     p.add_argument("-bam", "--bam", help="analyze an existing BAM instead")
     p.add_argument("-log", "--log", default="check_log.txt")
+    p.add_argument("-threads", "--threads", default="8")
     args = p.parse_args(argv)
 
     if args.bam:
@@ -73,7 +74,8 @@ def main(argv=None) -> int:
     else:
         from lariat_tpu import cli
         rc = cli.main(["-reads", args.reads, "-genome", args.genome,
-                       "-output", args.output, "-first_chunk"])
+                       "-output", args.output, "-first_chunk",
+                       "-threads", str(args.threads)])
         if rc != 0:
             return rc
         bam_fn = os.path.join(args.output, "bc_sorted_bam.bam")
