@@ -129,6 +129,11 @@ def main(argv=None) -> int:
         # with a device available, candidate-generation DP is primed on it in
         # the main process and workers run rescue + RFA + emission
         from .parallel.host_pipeline import ParallelRunner, write_packed
+        # fork the worker pool BEFORE any jax initialization: jax spawns
+        # threads and fork-after-threads deadlocks
+        runner = ParallelRunner(engine, config, centromeres, bams.tid,
+                                args.debugBamTags, args.simulated,
+                                args.threads)
         device_engine = None
         if args.use_device != "off":
             try:
@@ -141,9 +146,6 @@ def main(argv=None) -> int:
                 if args.use_device == "on":
                     raise
                 print(f"device priming unavailable ({e}); host-only workers")
-        runner = ParallelRunner(engine, config, centromeres, bams.tid,
-                                args.debugBamTags, args.simulated,
-                                args.threads)
 
         def primed_iter():
             if device_engine is None:
