@@ -38,6 +38,15 @@ from .extension import MAX_BAND_TRY, AlnReg, cal_max_gap
 MAX_EXT_LEN = 1 << 30
 
 
+def _pow2_bucket(n: int, floor: int = 128) -> int:
+    """Round batch sizes up to powers of two: distinct shapes retrace the
+    whole jitted wave, so sizes must come from a tiny fixed set."""
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
 @dataclasses.dataclass
 class _ExtTask:
     key: tuple
@@ -66,9 +75,9 @@ class _ExtBatcher:
         Lq = max((len(t.query) for t in self.tasks), default=1) or 1
         Lt = max((len(t.target) for t in self.tasks), default=1) or 1
         # pad to coarse buckets to limit recompilation
-        Lq = -(-Lq // 32) * 32
-        Lt = -(-Lt // 32) * 32
-        Bp = max(-(-B // 128) * 128, 128)
+        Lq = -(-Lq // 64) * 64
+        Lt = -(-Lt // 64) * 64
+        Bp = _pow2_bucket(B)
         qa = np.zeros((Bp, Lq), np.int32)
         ta = np.zeros((Bp, Lt), np.int32)
         qlen = np.zeros(Bp, np.int32)
@@ -528,16 +537,17 @@ class BatchAlignmentEngine(AlignmentEngine):
                     run_idx.append(g)
             if run_idx:
                 B = len(run_idx)
+                Bp = _pow2_bucket(B)
                 Lq = max(len(g.q) for g in run_idx)
                 Lt = max(len(g.rseq) for g in run_idx)
-                Lq = -(-Lq // 32) * 32
-                Lt = -(-Lt // 32) * 32
-                n_col = min(Lq, 2 * max(g.w2 for g in run_idx) + 1)
-                qa = np.zeros((B, Lq), np.int32)
-                ta = np.zeros((B, Lt), np.int32)
-                qlen = np.zeros(B, np.int32)
-                tlen = np.zeros(B, np.int32)
-                wv = np.zeros(B, np.int32)
+                Lq = -(-Lq // 64) * 64
+                Lt = -(-Lt // 64) * 64
+                n_col = min(Lq, 2 * (opt.band_width << 2) + 1)
+                qa = np.zeros((Bp, Lq), np.int32)
+                ta = np.zeros((Bp, Lt), np.int32)
+                qlen = np.zeros(Bp, np.int32)
+                tlen = np.zeros(Bp, np.int32)
+                wv = np.zeros(Bp, np.int32)
                 for i, g in enumerate(run_idx):
                     qa[i, :len(g.q)] = g.q
                     ta[i, :len(g.rseq)] = g.rseq

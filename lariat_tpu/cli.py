@@ -50,9 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("-index", "--index", default="",
       help="optional prebuilt index prefix (.lariat.npz or bwa-format)")
     a("-use_device", "--use_device", choices=["auto", "on", "off"],
-      default="auto",
-      help="prime candidate-generation DP on the accelerator (auto: when a "
-           "non-CPU jax backend is present)")
+      default="off",
+      help="prime candidate-generation DP on the accelerator. Off by "
+           "default: the native host path keeps 4 workers busy, and "
+           "per-process kernel compile warmup on remote-compile TPU setups "
+           "can dominate short runs; turn on for long runs / resident "
+           "services where compiles amortize")
     return p
 
 
@@ -138,7 +141,7 @@ def main(argv=None) -> int:
         if args.use_device != "off":
             try:
                 import jax
-                if jax.default_backend() != "cpu" or args.use_device == "on":
+                if args.use_device == "on" or jax.default_backend() != "cpu":
                     from .align.batch_engine import BatchAlignmentEngine
                     device_engine = BatchAlignmentEngine(fm)
                     print(f"device priming on {jax.devices()[0]}")
