@@ -120,3 +120,35 @@ def test_duplicate_marking(dup_genome):
     dups = [a for a in actives if a.duplicate]
     # 6 identical pairs -> 5 dup read1s + 5 dup read2s
     assert len(dups) == 10
+
+
+def test_rfa_recovers_mapq_in_duplication(dup_genome):
+    """The method's raison d'etre: reads inside a perfect segdup are
+    unmappable alone (MAPQ ~0) but the read-cloud prior recovers confident
+    placement (reference README.md:3; RFA paper Genome Res. 2015)."""
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    # every pair fully inside the duplicated segment [2000:3000]
+    inner = [_make_pair(genome, 2000 + i * 80, 300, f"in:{i}")
+             for i in range(5)]
+    # plus anchor pairs unique to the first copy's flanks
+    anchor = [_make_pair(genome, 1300 + i * 100, 300, f"an:{i}")
+              for i in range(6)]
+    reads = anchor + inner
+    with_rfa = process_barcode(engine, reads, True, RFAConfig())
+    # force the no-RFA path (non-unique barcode skips RFA, lariat.go:489-496)
+    without = process_barcode(engine, reads, False, RFAConfig())
+
+    def inner_active(result):
+        return [a for arr in result.alignments for a in arr
+                if a.active and a.read_name.startswith("in:")
+                and 1900 < a.pos < 3100]
+
+    rfa_mapqs = [a.mapq for a in inner_active(with_rfa)]
+    no_mapqs = [a.mapq for a in inner_active(without)]
+    # without the cloud, two equal-probability copies: p ~ 0.5 so MAPQ
+    # collapses to -10*log10(0.5) ~ 3
+    assert no_mapqs and all(q <= 3 for q in no_mapqs), no_mapqs
+    # with the cloud: confidently placed
+    assert all(q >= 20 for q in rfa_mapqs), rfa_mapqs
+    assert len(rfa_mapqs) >= 8
