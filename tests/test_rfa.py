@@ -122,11 +122,25 @@ def test_duplicate_marking(dup_genome):
     assert len(dups) == 10
 
 
-def test_rfa_recovers_mapq_in_duplication(dup_genome):
+def test_rfa_recovers_mapq_in_duplication(tmp_path):
     """The method's raison d'etre: reads inside a perfect segdup are
-    unmappable alone (MAPQ ~0) but the read-cloud prior recovers confident
-    placement (reference README.md:3; RFA paper Genome Res. 2015)."""
-    fm, genome = dup_genome
+    unmappable alone (MAPQ ~3) but the read-cloud prior recovers confident
+    placement (reference README.md:3; RFA paper Genome Res. 2015).
+
+    The copies must sit > 50 kb apart: within 50 kb they merge into one
+    candidate molecule (the gap rule, lariat.go:1376) and no cloud evidence
+    can separate them."""
+    rng = np.random.default_rng(70)
+    g = BASES[rng.integers(0, 4, 140000)]
+    g[90000:91000] = g[2000:3000]
+    fasta = tmp_path / "far_dup.fa"
+    seq = g.tobytes().decode()
+    with open(fasta, "w") as f:
+        f.write(">chrT\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i:i + 70] + "\n")
+    fm = fmindex.build_index(str(fasta))
+    genome = g.tobytes()
     engine = AlignmentEngine(fm)
     # every pair fully inside the duplicated segment [2000:3000]
     inner = [_make_pair(genome, 2000 + i * 80, 300, f"in:{i}")
