@@ -25,6 +25,14 @@ def _views(fm):
             ctypes.c_int64(fm.sa_intv))
 
 
+def _occ_contig(fm):
+    occ = getattr(fm, "_occ_contig_cache", None)
+    if occ is None:
+        occ = np.ascontiguousarray(fm.occ_ckpt)
+        fm._occ_contig_cache = occ
+    return occ
+
+
 def collect_seeds_batch(fm, reads: List[np.ndarray], opt
                         ) -> Optional[List[np.ndarray]]:
     """Batched mem_collect_intv; returns per-read (n, 5) int64 arrays
@@ -40,8 +48,7 @@ def collect_seeds_batch(fm, reads: List[np.ndarray], opt
         offsets[i + 1] = offsets[i] + len(r)
     flat = np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads]) \
         if offsets[-1] else np.zeros(1, np.uint8)
-    # occ_ckpt must outlive the call: keep the contiguous copy referenced
-    occ = np.ascontiguousarray(fm.occ_ckpt)
+    occ = _occ_contig(fm)
     cap = int(offsets[-1]) * 2 + 64 * n + 64
     out = np.zeros((cap, 5), dtype=np.int64)
     counts = np.zeros(n, dtype=np.int64)
@@ -74,7 +81,7 @@ def sa_lookup_batch(fm, rows: np.ndarray) -> Optional[np.ndarray]:
         return None
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     out = np.zeros(len(rows), dtype=np.int64)
-    occ = np.ascontiguousarray(fm.occ_ckpt)
+    occ = _occ_contig(fm)
     lib.fm_sa_lookup_batch(
         fm.packed_words.ctypes.data_as(_c_u32p),
         occ.ctypes.data_as(_c_i64p),

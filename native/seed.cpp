@@ -308,20 +308,25 @@ int64_t fm_collect_seeds_batch(
     int64_t* out_offsets, int n_threads) {
   FMView fm{bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv};
   std::vector<std::vector<Intv>> per_read(n_reads);
-  int workers = static_cast<int>(std::max<int64_t>(1, std::min<int64_t>(n_threads, n_reads)));
-  std::vector<std::thread> threads;
-  for (int t = 0; t < workers; ++t) {
-    threads.emplace_back([&, t]() {
-      for (int64_t r = t; r < n_reads; r += workers) {
-        const uint8_t* q = reads + offsets[r];
-        int len = static_cast<int>(offsets[r + 1] - offsets[r]);
-        if (len > 0)
-          collect_intv(fm, q, len, min_seed_len, split_factor, split_width,
-                       max_mem_intv, per_read[r]);
-      }
-    });
+  auto run_range = [&](int t, int workers) {
+    for (int64_t r = t; r < n_reads; r += workers) {
+      const uint8_t* q = reads + offsets[r];
+      int len = static_cast<int>(offsets[r + 1] - offsets[r]);
+      if (len > 0)
+        collect_intv(fm, q, len, min_seed_len, split_factor, split_width,
+                     max_mem_intv, per_read[r]);
+    }
+  };
+  int workers = static_cast<int>(
+      std::max<int64_t>(1, std::min<int64_t>(n_threads, n_reads)));
+  if (n_reads < 64 || workers == 1) {
+    run_range(0, 1);  // thread spawn overhead dominates tiny batches
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < workers; ++t)
+      threads.emplace_back(run_range, t, workers);
+    for (auto& th : threads) th.join();
   }
-  for (auto& th : threads) th.join();
   int64_t total = 0;
   for (int64_t r = 0; r < n_reads; ++r) {
     out_offsets[r] = total;
@@ -347,10 +352,15 @@ void fm_sa_lookup_batch(const uint32_t* bwt_words, const int64_t* occ_ckpt,
                         const int64_t* rows, int64_t n, int64_t* out,
                         int n_threads) {
   FMView fm{bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv};
-  int workers = static_cast<int>(std::max<int64_t>(1, std::min<int64_t>(n_threads, n)));
+  int workers = static_cast<int>(
+      std::max<int64_t>(1, std::min<int64_t>(n_threads, n)));
+  if (n < 1024 || workers == 1) {
+    for (int64_t i = 0; i < n; ++i) out[i] = sa_lookup(fm, rows[i]);
+    return;
+  }
   std::vector<std::thread> threads;
   for (int t = 0; t < workers; ++t) {
-    threads.emplace_back([&, t]() {
+    threads.emplace_back([&, t, workers]() {
       for (int64_t i = t; i < n; i += workers) out[i] = sa_lookup(fm, rows[i]);
     });
   }
