@@ -120,6 +120,16 @@ def main() -> None:
     process_barcode_group(engine, groups, cfg)
     e2e_dt = time.time() - t0
     e2e_pairs = sum(len(b) for b, _ in groups)
+    # host-native single-process figure (the multiprocess CLI scales this by
+    # the worker count)
+    from lariat_tpu.align.engine import AlignmentEngine
+    from lariat_tpu.rfa.pipeline import process_barcode
+    host_engine = AlignmentEngine(fm)
+    process_barcode(host_engine, groups[0][0], True, cfg)
+    t0 = time.time()
+    for reads_, uniq_ in groups:
+        process_barcode(host_engine, reads_, uniq_, cfg)
+    host_dt = time.time() - t0
 
     print(json.dumps({
         "metric": "read pairs candidate-generated/sec/chip "
@@ -133,7 +143,8 @@ def main() -> None:
             "index_build_s": round(t_index, 1),
             "device": str(jax.devices()[0]),
             "pallas": use_pallas,
-            "e2e_full_rfa_pairs_per_s_1proc": round(e2e_pairs / e2e_dt, 1),
+            "e2e_rfa_device_primed_1proc": round(e2e_pairs / e2e_dt, 1),
+            "e2e_rfa_host_native_1proc": round(e2e_pairs / host_dt, 1),
         },
     }))
 
