@@ -46,7 +46,7 @@ def main() -> None:
             f.write(s[i:i + step] + "\n")
         path = f.name
     t_index = time.time()
-    fm = fmindex.build_index(path, sa_intv=8)  # dense SA: short batched LF walks
+    fm = fmindex.build_index(path, sa_intv=4)  # dense SA: short batched LF walks
     t_index = time.time() - t_index
 
     codes = fmindex.NT4_TABLE[np.frombuffer(g.tobytes(), dtype=np.uint8)]

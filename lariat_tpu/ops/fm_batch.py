@@ -156,14 +156,13 @@ def backward_ext_batch(fmd: DeviceFMIndex, k: jnp.ndarray, l: jnp.ndarray,
                        c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched backward search step on [k, l] inclusive intervals.
 
-    k, l, c: (...,) arrays; c int codes 0..3.
+    k, l, c: (...,) arrays; c int codes 0..3. Uses single-code ranks (the
+    extension code is known per lane, so occ4 would waste 4x the block
+    counting).
     """
-    occ_km1 = occ4_batch(fmd, k - 1)
-    occ_l = occ4_batch(fmd, l)
     l2c = fmd.L2[c]
-    cm = c[..., None].astype(jnp.int32)
-    nk = l2c + jnp.take_along_axis(occ_km1, cm, axis=-1)[..., 0] + 1
-    nl = l2c + jnp.take_along_axis(occ_l, cm, axis=-1)[..., 0]
+    nk = l2c + occ1_batch(fmd, k - 1, c) + 1
+    nl = l2c + occ1_batch(fmd, l, c)
     return nk, nl
 
 
