@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-first_chunk", "--first_chunk", action="store_true")
     a("-index", "--index", default="",
       help="optional prebuilt index prefix (.lariat.npz or bwa-format)")
+    a("-profile", "--profile", default="",
+      help="write a jax profiler trace to this directory (single-process "
+           "mode) and print per-stage wall times")
     a("-use_device", "--use_device", choices=["auto", "on", "off"],
       default="off",
       help="prime candidate-generation DP on the accelerator. Off by "
@@ -176,12 +179,29 @@ def main(argv=None) -> int:
             stats.correct_mapq10 += packed.stats[3]
         runner.close()
     else:
+        profiler = None
+        if args.profile:
+            try:
+                import jax
+                jax.profiler.start_trace(args.profile)
+                profiler = jax
+            except Exception as e:
+                print(f"profiler unavailable: {e}")
+        t_align = t_dump = 0.0
         for reads, unique in work_iter():
+            t1 = time.time()
             result = process_barcode(engine, reads, unique, config,
                                      centromeres, stats, args.simulated)
+            t2 = time.time()
             bams.dump(result.alignments, result.attach_bx)
+            t_align += t2 - t1
+            t_dump += time.time() - t2
             n_pairs += len(reads)
             n_bcs += 1
+        if profiler is not None:
+            profiler.profiler.stop_trace()
+        if args.profile:
+            print(f"stage times: align+rfa {t_align:.2f}s, emit {t_dump:.2f}s")
     bams.close()
     dt = time.time() - t0
     print(f"Processed {n_pairs} read pairs across {n_bcs} barcodes "
