@@ -1,0 +1,101 @@
+"""Multi-host scale-out driver (pod slices over DCN + per-chip ICI).
+
+Scale-out design (SURVEY.md sections 2.3/5; reference contract is the outer
+chunked invocation: ``-max_bcs``/``-first_chunk`` + position-bucketed BAMs
+merged downstream, lariat/main.go:16,18,24):
+
+ - INPUT: each host consumes its own barcode-complete FASTQ shard (barcode
+   atomicity preserved by splitting at barcode boundaries, exactly like the
+   reference's Long Ranger chunking). No read ever crosses hosts.
+ - INDEX: the genome index is replicated per host (hg38 FMD arrays ~6 GB:
+   fits device HBM and trivially host RAM), so alignment needs NO inter-host
+   communication — the same decision as the reference's per-process in-RAM
+   bwa index.
+ - COMPUTE: within a host, the device batch waves run on the local chips via
+   a 1-D data mesh (see __graft_entry__.dryrun_multichip); RFA/emission run
+   on host workers.
+ - OUTPUT: each host writes its own first_chunk-gated BAM set; the
+   position-bucket naming makes the global merge a deterministic
+   concatenation (tools/cat_bams.py --auto host0_out host1_out ...).
+ - STATS: summed with a single psum over the global mesh at the end.
+
+This module wires those pieces; it degenerates to the single-host pipeline
+when ``num_processes == 1`` (which is how it is tested here — multi-host
+hardware is exercised by the driver's mesh dry run).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class HostShardPlan:
+    """Which inputs/outputs this host owns."""
+    host_id: int
+    num_hosts: int
+    reads_path: str
+    output_dir: str
+    first_chunk: bool     # only host 0 of chunk 0 writes the @CO headers
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: int = 1, process_id: int = 0) -> None:
+    """jax.distributed bring-up; no-op for a single process."""
+    if num_processes <= 1:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def plan_host_shards(reads_paths: List[str], output_base: str,
+                     num_hosts: int) -> List[HostShardPlan]:
+    """Round-robin barcode-complete FASTQ shards over hosts.
+
+    ``reads_paths`` must each be barcode-complete (produced by an upstream
+    barcode-aware splitter, as in the reference's pipeline contract).
+    """
+    plans = []
+    for h in range(num_hosts):
+        mine = [p for i, p in enumerate(reads_paths) if i % num_hosts == h]
+        if not mine:
+            continue
+        plans.append(HostShardPlan(
+            host_id=h, num_hosts=num_hosts, reads_path=mine[0],
+            output_dir=f"{output_base}/host{h:03d}",
+            first_chunk=(h == 0)))
+    return plans
+
+
+def global_stats_psum(local_stats) -> list:
+    """Sum RFAStats across hosts with one collective over the global mesh."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    vals = jnp.asarray(np.array([local_stats.total, local_stats.correct,
+                                 local_stats.total_mapq10,
+                                 local_stats.correct_mapq10],
+                                dtype=np.int64))
+    if jax.process_count() == 1:
+        return [int(v) for v in vals]
+    from jax.experimental import multihost_utils
+    summed = multihost_utils.process_allgather(vals).sum(axis=0)
+    return [int(v) for v in summed]
+
+
+def run_host(plan: HostShardPlan, genome: str, threads: int = 8,
+             use_device: str = "off", extra_args: Optional[List[str]] = None
+             ) -> int:
+    """Run this host's shard through the standard CLI pipeline."""
+    from ..cli import main as cli_main
+    argv = ["-reads", plan.reads_path, "-genome", genome,
+            "-output", plan.output_dir, "-threads", str(threads),
+            "-use_device", use_device]
+    if plan.first_chunk:
+        argv.append("-first_chunk")
+    if extra_args:
+        argv.extend(extra_args)
+    return cli_main(argv)
