@@ -32,7 +32,8 @@ from ..config import AlignerConfig, PairModel
 from ..index.fmindex import FMIndex
 from . import ksw
 from .chaining import Chain, chain_seeds, filter_chains
-from .engine import AlignmentEngine, OP_D, OP_M, OP_S, SingleReadAlignment
+from .engine import (AlignmentEngine, OP_D, OP_M, OP_S,
+                     SingleReadAlignment)
 from .extension import MAX_BAND_TRY, AlnReg, cal_max_gap
 
 MAX_EXT_LEN = 1 << 30
@@ -214,7 +215,6 @@ class BatchAlignmentEngine(AlignmentEngine):
             if len(q) else [] for i, q in enumerate(qs)]
         # ---- wave L: left extensions (band try ladder, speculative) -------
         batcher = _ExtBatcher(self.use_pallas)
-        left_res: Dict[tuple, Dict[int, ksw.ExtendResult]] = {}
         for ri, clist in enumerate(ctxs):
             for ci, ctx in enumerate(clist):
                 for si in ctx.srt:

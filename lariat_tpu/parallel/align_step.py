@@ -13,7 +13,7 @@ This is the TPU-native analog of the per-read candidate generation hot path
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ import numpy as np
 
 from ..index.fmindex import FMIndex
 from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch,
-                            exact_match_batch, occ1_batch, occ4_batch)
+                            occ1_batch, occ4_batch)
 from ..ops.sw_batch import extend_batch
 from ..ops.sw_extend_pallas import extend_batch_pallas
 
