@@ -128,8 +128,8 @@ def occ1_batch(fmd: DeviceFMIndex, k: jnp.ndarray, c: jnp.ndarray
     kk = jnp.clip(kk, 0, fmd.seq_len - 1)
     blk = (kk + 1) // OCC_INTERVAL
     rem = ((kk + 1) % OCC_INTERVAL).astype(jnp.int32)
-    base = jnp.take_along_axis(fmd.occ_ckpt[blk], c[..., None].astype(jnp.int32),
-                               axis=-1)[..., 0]
+    # flat single-element gather instead of a row gather + take_along_axis
+    base = fmd.occ_ckpt.reshape(-1)[blk * 4 + c.astype(blk.dtype)]
     nb = fmd.bwt_words.shape[0]
     words = fmd.bwt_words[jnp.clip(blk, 0, nb - 1)]      # (..., 8)
     word_base = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * 16

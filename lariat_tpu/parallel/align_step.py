@@ -106,11 +106,13 @@ def fetch_window_batch(g: DeviceGenome, start: jnp.ndarray,
     shifts = jnp.arange(15, -1, -1, dtype=jnp.uint32) * 2
     codes16 = ((words[:, :, None] >> shifts[None, None, :]) & 3)
     codes = codes16.reshape(codes16.shape[0], -1).astype(jnp.int32)
-    # align: the read starts at offset (start - 16*(first_byte//4*4... )
+    # realign by the in-word offset (0..15) with 16 static-slice selects:
+    # a lane-dim take_along_axis gather is ~10x slower on TPU
     word_start = (first_byte // 4) * 16
     off = (start - word_start).astype(jnp.int32)          # in [0, 15]
-    pick = off[:, None] + jnp.arange(length, dtype=jnp.int32)[None, :]
-    out = jnp.take_along_axis(codes, pick, axis=1)
+    out = jnp.zeros((codes.shape[0], length), jnp.int32)
+    for v in range(16):
+        out = jnp.where(off[:, None] == v, codes[:, v:v + length], out)
     pos = start[:, None] + jnp.arange(length, dtype=start.dtype)[None, :]
     valid = (pos >= 0) & (pos < g.l_pac)
     return jnp.where(valid, out, 4)
