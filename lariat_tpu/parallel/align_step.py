@@ -188,17 +188,20 @@ def exact_match_batch_suffix(fmd: DeviceFMIndex, reads: jnp.ndarray,
     k0 = jnp.zeros((B,), dt)
     l0 = jnp.full((B,), fmd.seq_len, dtype=dt)
     span = lens - start
+    n_iters = L if max_iters is None else min(L, max_iters)
+    # hoist the per-iteration lane gather: one (B, n_iters) gather of the
+    # end-aligned reversed codes, then each step reads a static column
+    tcols = jnp.arange(n_iters, dtype=jnp.int32)[None, :]
+    ridx = jnp.clip(lens[:, None] - 1 - tcols, 0, L - 1).astype(jnp.int32)
+    rev = jnp.take_along_axis(reads.astype(jnp.int32), ridx, axis=1)
 
     def step(t, kl):
         k, l = kl
-        idx = jnp.clip(lens - 1 - t, 0, L - 1)
-        c = jnp.take_along_axis(reads, idx[:, None].astype(jnp.int32),
-                                axis=1)[:, 0].astype(jnp.int32)
+        c = rev[:, t]
         active = (t < span) & (k <= l) & (c < 4)
         nk, nl = backward_ext_batch(fmd, k, l, jnp.clip(c, 0, 3))
         k = jnp.where(active, nk, k)
         l = jnp.where(active, nl, l)
         return (k, l)
 
-    return jax.lax.fori_loop(0, L if max_iters is None else min(L, max_iters),
-                             step, (k0, l0))
+    return jax.lax.fori_loop(0, n_iters, step, (k0, l0))
