@@ -91,3 +91,55 @@ def test_swap_ordered_map_semantics():
     m.delete(10)
     assert m.keys() == [50, 40]
     assert len(m) == 2 and 40 in m and 10 not in m
+
+
+def test_mapq_calibration_with_segdups(tmp_path):
+    """Simulated segdup data: no incorrect placement may carry MAPQ >= 10
+    (the reference's empirical-vs-reported calibration check, check.py:47-101
+    and lariat.go:517-542)."""
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    glen = 400_000
+    g = bases[rng.integers(0, 4, glen)]
+    g[300_000:303_000] = g[100_000:103_000]  # segdup pair 200kb apart
+    fasta = tmp_path / "g.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        s = g.tobytes().decode()
+        for i in range(0, len(s), 1 << 16):
+            f.write(s[i:i + (1 << 16)] + "\n")
+    fm = fmindex.build_index(str(fasta))
+    genome = g.tobytes()
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    from lariat_tpu.io.fastq import FastQRecord
+    engine = AlignmentEngine(fm)
+    total = wrong_conf = 0
+    for b in range(6):
+        reads = []
+        for m in range(2):
+            start = int(rng.integers(0, glen - 60000))
+            for i in range(10):
+                pos = start + int(rng.integers(0, 50000))
+                end = pos + 300
+                if end > glen:
+                    continue
+                q = b"I" * 120
+                reads.append(FastQRecord(
+                    read1=genome[pos:pos + 120], read_qual1=q,
+                    read2=genome[end - 120:end].translate(comp)[::-1],
+                    read_qual2=q, barcode10x=b"AAACAGAGAAAGAT-1",
+                    barcode10x_qual=b"J" * 14,
+                    raw_barcode10x=b"AAACAGAGAAAGAT", barcode=b"ACGTACGT",
+                    barcode_qual=b"IIIIIIII",
+                    read_info=f"mol:{m}:chr1:0:0:{pos}:{end - 120}"))
+        res = process_barcode(engine, reads, True, RFAConfig())
+        for arr in res.alignments:
+            for a in arr:
+                if not a.active:
+                    continue
+                truth = int(a.read_name.split(":")[5 if a.read1 else 6])
+                total += 1
+                if a.mapq >= 10 and abs(a.pos - truth) >= 600:
+                    wrong_conf += 1
+    assert total > 100
+    assert wrong_conf == 0, f"{wrong_conf}/{total} overconfident placements"
