@@ -32,6 +32,9 @@ class DeviceFMIndex(NamedTuple):
     L2: jnp.ndarray          # (5,) int32/int64
     primary: jnp.ndarray     # () int
     seq_len: jnp.ndarray     # () int
+    fused: jnp.ndarray       # (n_blocks+1, 12) uint32: [ckpt 0..3, words 0..7]
+    # one row gather serves both the rank base and the in-block popcount
+    # (per-code counts fit uint32 for any genome below 4 Gbp x2)
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceFMIndex":
@@ -49,12 +52,17 @@ class DeviceFMIndex(NamedTuple):
         # genome coordinates fit int32 for anything below ~1 Gbp doubled;
         # int64 (XLA-emulated on TPU) only when required
         idx_dtype = np.int32 if fm.seq_len + 2 < 2**31 else np.int64
+        wb = words.reshape(n_blocks, WORDS_PER_BLOCK)
+        fused = np.zeros((n_blocks + 1, 12), dtype=np.uint32)
+        fused[:, :4] = fm.occ_ckpt.astype(np.uint32)
+        fused[:n_blocks, 4:] = wb
         return cls(
-            bwt_words=jnp.asarray(words.reshape(n_blocks, WORDS_PER_BLOCK)),
+            bwt_words=jnp.asarray(wb),
             occ_ckpt=jnp.asarray(fm.occ_ckpt.astype(idx_dtype)),
             L2=jnp.asarray(fm.L2.astype(idx_dtype)),
             primary=jnp.asarray(idx_dtype(fm.primary)),
-            seq_len=jnp.asarray(idx_dtype(fm.seq_len)))
+            seq_len=jnp.asarray(idx_dtype(fm.seq_len)),
+            fused=jnp.asarray(fused))
 
     @property
     def idx_dtype(self):
@@ -128,10 +136,13 @@ def occ1_batch(fmd: DeviceFMIndex, k: jnp.ndarray, c: jnp.ndarray
     kk = jnp.clip(kk, 0, fmd.seq_len - 1)
     blk = (kk + 1) // OCC_INTERVAL
     rem = ((kk + 1) % OCC_INTERVAL).astype(jnp.int32)
-    # flat single-element gather instead of a row gather + take_along_axis
-    base = fmd.occ_ckpt.reshape(-1)[blk * 4 + c.astype(blk.dtype)]
-    nb = fmd.bwt_words.shape[0]
-    words = fmd.bwt_words[jnp.clip(blk, 0, nb - 1)]      # (..., 8)
+    row = fmd.fused[blk]                                 # (..., 12) uint32
+    # rank base: 4-way select on the code (cheaper than any gather)
+    base = row[..., 0]
+    for cc in range(1, 4):
+        base = jnp.where(c == cc, row[..., cc], base)
+    base = base.astype(dt)
+    words = row[..., 4:]                                 # (..., 8)
     word_base = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * 16
     nvalid = jnp.clip(rem[..., None] - word_base, 0, 16)
     shift = (32 - 2 * nvalid).astype(jnp.uint32)
@@ -150,6 +161,45 @@ def occ1_batch(fmd: DeviceFMIndex, k: jnp.ndarray, c: jnp.ndarray
     out = jnp.where(is_total, total, out)
     out = jnp.where(is_neg, 0, out)
     return out
+
+
+def lf_batch(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """Batched LF mapping (bwt_invPsi) with a single fused-row gather.
+
+    k must not equal `primary` elementwise (callers mask that case to 0).
+    For k != primary the code row index and the rank position share the same
+    block: kx = k - (k > primary); LF(k) = L2[c] + ckpt[blk][c] +
+    count(c in first kx%128+1 bases of block kx//128).
+    """
+    dt = fmd.idx_dtype
+    k = k.astype(dt)
+    kx = jnp.where(k > fmd.primary, k - 1, k)
+    blk = kx // OCC_INTERVAL
+    pos = (kx % OCC_INTERVAL).astype(jnp.int32)       # in-block code position
+    row = fmd.fused[blk]                              # (..., 12)
+    words = row[..., 4:]
+    widx = pos // 16
+    word = jnp.take_along_axis(words, widx[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    c = ((word >> ((15 - (pos % 16)).astype(jnp.uint32) * 2)) & 3)
+    c = c.astype(jnp.int32)
+    base = row[..., 0]
+    for cc in range(1, 4):
+        base = jnp.where(c == cc, row[..., cc], base)
+    # count of c among the first pos+1 bases of the block
+    rem = pos + 1
+    word_base = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * 16
+    nvalid = jnp.clip(rem[..., None] - word_base, 0, 16)
+    shift = (32 - 2 * nvalid).astype(jnp.uint32)
+    keep = jnp.where(nvalid > 0,
+                     (jnp.uint32(0xFFFFFFFF) >> shift) << shift,
+                     jnp.uint32(0))
+    pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    y = words ^ pat
+    m = ~(y | (y >> 1)) & jnp.uint32(0x55555555)
+    inblock = jnp.sum(jax.lax.population_count(m & keep), axis=-1,
+                      dtype=jnp.int32)
+    return fmd.L2[c] + base.astype(dt) + inblock.astype(dt)
 
 
 def backward_ext_batch(fmd: DeviceFMIndex, k: jnp.ndarray, l: jnp.ndarray,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.fmindex import FMIndex
-from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch,
+from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch, lf_batch,
                             occ1_batch, occ4_batch)
 from ..ops.sw_batch import extend_batch
 from ..ops.sw_extend_pallas import extend_batch_pallas
@@ -76,8 +76,7 @@ def sa_lookup_batch(g: DeviceGenome, k: jnp.ndarray,
 
     def body(state):
         k, steps, done, it = state
-        c = _bwt_code_at(fmd, k)
-        lf = fmd.L2[c] + occ1_batch(fmd, k, c)
+        lf = lf_batch(fmd, k)
         lf = jnp.where(k == fmd.primary, 0, lf)
         nk = jnp.where(done, k, lf)
         nsteps = jnp.where(done, steps, steps + 1)
