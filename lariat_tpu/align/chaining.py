@@ -49,6 +49,8 @@ def _intv2rid(fm: FMIndex, rb: int, re: int) -> int:
         b, e = fm.seq_len - re, fm.seq_len - rb
     else:
         return -1  # bridges the forward-reverse boundary
+    if len(fm.contigs) == 1:
+        return 0
     rid_b = fm.pos_to_contig(b)
     rid_e = fm.pos_to_contig(e - 1) if e > b else rid_b
     return rid_b if rid_b == rid_e else -1

@@ -77,11 +77,11 @@ class AlignmentEngine:
 
     # ------------------------------------------------------------------ align1
 
-    def align1(self, q: np.ndarray) -> List[AlnReg]:
+    def align1(self, q: np.ndarray, mems=None) -> List[AlnReg]:
         """mem_align1_core: all candidate regions for one read."""
         if len(q) == 0:
             return []
-        chains = chain_seeds(self.fm, q, self.opt)
+        chains = chain_seeds(self.fm, q, self.opt, mems)
         chains = filter_chains(self.opt, chains)
         # mem_flt_chained_seeds is a no-op for short reads: min_l =
         # 5.5*log(l) > 0.05*l holds for every read length below ~2 kb.
@@ -170,8 +170,23 @@ class AlignmentEngine:
         """GoBwaMemMateSW (gobwa.go:226-337): align both reads + mate rescue."""
         q1 = encode_read(seq1)
         q2 = encode_read(seq2)
-        regs1 = self.align1(q1) if len(q1) else []
-        regs2 = self.align1(q2) if len(q2) else []
+        # one native seeding call for both mates halves the FFI overhead
+        mems1 = mems2 = None
+        both = [q for q in (q1, q2) if len(q)]
+        if both:
+            from ..index import native_ops
+            from .seeding import Intv
+            nat = native_ops.collect_seeds_batch(self.fm, both, self.opt)
+            if nat is not None:
+                it = iter(nat)
+                if len(q1):
+                    mems1 = [Intv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                                  int(r[4])) for r in next(it)]
+                if len(q2):
+                    mems2 = [Intv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
+                                  int(r[4])) for r in next(it)]
+        regs1 = self.align1(q1, mems1) if len(q1) else []
+        regs2 = self.align1(q2, mems2) if len(q2) else []
         return self.finish_pair(q1, q2, regs1, regs2, score_delta)
 
     def finish_pair(self, q1, q2, regs1, regs2, score_delta: int

@@ -37,6 +37,10 @@ for _i, _b in enumerate(b"ACGT"):
     NT4_TABLE[ord(chr(_b).lower())] = _i
 
 
+_FWD_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+_RC_LUT = np.frombuffer(b"TGCA", dtype=np.uint8)
+
+
 @dataclasses.dataclass
 class Contig:
     name: str
@@ -235,8 +239,8 @@ class FMIndex:
         off = self.contigs[tid].offset
         codes = self.get_seq_codes(off + start, off + end)
         if reversed_:
-            return bytes(b"TGCA"[c] for c in (codes[::-1]))
-        return bytes(b"ACGT"[c] for c in codes)
+            return _RC_LUT[codes[::-1]].tobytes()
+        return _FWD_LUT[codes].tobytes()
 
     def pos_to_contig(self, pos: int) -> int:
         """tid for a forward-strand global position."""

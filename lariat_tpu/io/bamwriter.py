@@ -31,8 +31,11 @@ def reverse_comp(seq: bytes) -> bytes:
     return seq.translate(COMPLEMENT)[::-1]
 
 
+_QUAL_TABLE = bytes(max(b - 33, 0) for b in range(256))
+
+
 def fix_qual(q: bytes) -> bytes:
-    return bytes(b - 33 for b in q)
+    return q.translate(_QUAL_TABLE)
 
 
 def hard_clip(seq: bytes, qual: bytes, cigar: List[Tuple[int, int]]
