@@ -199,8 +199,9 @@ def global_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
         d |= (e_ext > e_open).astype(np.uint8) << 2
         f_ext = F - e_ins
         f_open = M - gapoe_ins
-        # bit records whether F(i,j+1) extends from F(i,j): compare at cell j
-        d |= (f_ext > f_open).astype(np.uint8) << 4
+        # F-extend marker is VALUE 2 at bits 4-5 (C: d |= 2<<4): the
+        # traceback's F state reads those bits and stays in F only on 2
+        d |= (f_ext > f_open).astype(np.uint8) << 5
         if want_cigar:
             z[i, :end - beg] = d
         eh_h[beg] = h1_init

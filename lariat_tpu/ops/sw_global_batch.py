@@ -98,7 +98,8 @@ def global_batch(query: jnp.ndarray, qlen: jnp.ndarray,
         d = d | ((e_ext > e_open).astype(jnp.uint8) << 2)
         f_ext = F - e_ins
         f_open = M - gapoe_ins
-        d = d | ((f_ext > f_open).astype(jnp.uint8) << 4)
+        # F-extend marker is VALUE 2 at bits 4-5 (C: d |= 2<<4)
+        d = d | ((f_ext > f_open).astype(jnp.uint8) << 5)
         d = jnp.where(band, d, jnp.uint8(0))
         # pack the band columns [beg, end) into z[:, i, 0:end-beg] via gather
         cidx = beg[:, None] + jnp.arange(n_col, dtype=jnp.int32)[None, :]

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for batched banded global alignment (ksw_global2).
+
+Same math as ``sw_global_batch.global_batch`` but with the DP state in VMEM
+and the row loop in-kernel (see sw_extend_pallas for the layout rationale:
+tasks on lanes, query position on sublanes, gridless chunked calls).
+
+Differences from that module's XLA version:
+ - direction bytes are stored UNPACKED at (row, query_pos) — no band-relative
+   column shifting — so the host traceback indexes z[i, j] directly;
+ - scores come back packed in a (8, T) int32 row block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw_extend_pallas import LANES, _cummax_sublanes
+
+NEG = -0x40000000
+
+
+class GlobalPallasResult(NamedTuple):
+    score: jnp.ndarray   # (B,) int32
+    z: jnp.ndarray       # (B, Lt, Lq) uint8 direction bytes (unpacked)
+
+
+def _global_kernel(q_ref, t_ref, params_ref, score_ref, z_ref,
+                   ehh_ref, ehe_ref,
+                   *, Lt: int, o_del: int, e_del: int, o_ins: int,
+                   e_ins: int, match_sc: int, mismatch_sc: int, n_sc: int):
+    Lq, T = q_ref.shape
+    gapoe_del = o_del + e_del
+    gapoe_ins = o_ins + e_ins
+    qlen = params_ref[0:1, :]
+    tlen = params_ref[1:2, :]
+    w = params_ref[2:3, :]
+    z = jnp.int32(0)
+    negv = jnp.int32(NEG)
+    jid1 = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, T), 0)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (Lq, T), 0)
+    # first row: eh_h[0]=0; eh_h[j] = -(o_ins+e_ins*j) for 1<=j<=min(qlen,w)
+    row0 = jnp.where((jid1 >= 1) & (jid1 <= jnp.minimum(qlen, w)),
+                     -(o_ins + e_ins * jid1), negv)
+    row0 = jnp.where(jid1 == 0, z, row0)
+    ehh_ref[:] = row0
+    ehe_ref[:] = jnp.full((Lq + 1, T), NEG, jnp.int32)
+
+    def row_step(i, carry):
+        i32 = jnp.int32(i)
+        in_row = i32 < tlen
+        beg = jnp.maximum(i32 - w, z)
+        end = jnp.minimum(i32 + w + 1, qlen)
+        band = (jr >= beg) & (jr < end)
+        h1_init = jnp.where(beg == 0, -(o_del + e_del * (i32 + 1)), negv)
+        jrt = jax.lax.broadcasted_iota(jnp.int32, (Lt, T), 0)
+        tcode = jnp.max(jnp.where(jrt == i32, t_ref[:], z), axis=0,
+                        keepdims=True)
+        tcode = jnp.where(i32 >= Lt, z, tcode)
+        qc = q_ref[:]
+        is_n = (qc >= 4) | (tcode >= 4)
+        sub = jnp.where(is_n, jnp.int32(n_sc),
+                        jnp.where(qc == tcode, jnp.int32(match_sc),
+                                  jnp.int32(mismatch_sc)))
+        M = ehh_ref[:Lq, :] + sub
+        E = ehe_ref[:Lq, :]
+        F = _cummax_sublanes(
+            jnp.where(band, (M - gapoe_ins) + jr * e_ins, negv))
+        F = jnp.concatenate(
+            [jnp.full((1, T), NEG, jnp.int32), F[:-1] - jr[:-1] * e_ins],
+            axis=0)
+        F = jnp.where(jr == beg, negv, F)
+        d = jnp.where(M >= E, z, jnp.int32(1))
+        h = jnp.maximum(M, E)
+        d = jnp.where(h >= F, d, jnp.int32(2))
+        h = jnp.maximum(h, F)
+        e_ext = E - e_del
+        e_open = M - gapoe_del
+        d = d | (jnp.where(e_ext > e_open, jnp.int32(1), z) << 2)
+        f_ext = F - e_ins
+        f_open = M - gapoe_ins
+        d = d | (jnp.where(f_ext > f_open, jnp.int32(2), z) << 4)
+        d = jnp.where(band, d, z)
+        z_ref[i32] = d.astype(jnp.uint8)
+        # write-backs
+        h_shift = jnp.concatenate([jnp.zeros((1, T), jnp.int32), h], axis=0)
+        wmask = (jid1 > beg) & (jid1 <= end)
+        ehh_new = jnp.where(wmask, h_shift, ehh_ref[:])
+        ehh_new = jnp.where(jid1 == beg, h1_init, ehh_new)
+        e_new = jnp.maximum(e_ext, e_open)
+        e_pad = jnp.concatenate([e_new, jnp.full((1, T), NEG, jnp.int32)],
+                                axis=0)
+        emask = (jid1 >= beg) & (jid1 < end)
+        ehe_new = jnp.where(emask, e_pad, ehe_ref[:])
+        ehe_new = jnp.where(jid1 == end, negv, ehe_new)
+        ehh_ref[:] = jnp.where(in_row, ehh_new, ehh_ref[:])
+        ehe_ref[:] = jnp.where(in_row, ehe_new, ehe_ref[:])
+        return carry
+
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(Lt), row_step, jnp.int32(0))
+    # score = eh_h[qlen] (invariant: holds H(tlen-1, qlen-1))
+    lastmask = (jid1 == qlen).astype(jnp.int32)
+    score = jnp.max(jnp.where(lastmask != 0, ehh_ref[:], negv), axis=0,
+                    keepdims=True)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0)
+    score_ref[:] = jnp.where(rid == 0, score, z)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "tile_b", "interpret",
+                                             "match_sc", "mismatch_sc",
+                                             "n_sc"))
+def global_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
+                        target: jnp.ndarray, tlen: jnp.ndarray,
+                        mat: jnp.ndarray, w: jnp.ndarray,
+                        o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                        e_ins: int = 1, tile_b: int = LANES,
+                        interpret: bool = False,
+                        match_sc: int = 1, mismatch_sc: int = -4,
+                        n_sc: int = -1) -> GlobalPallasResult:
+    """Banded global DP for a batch; returns scores + unpacked z bytes."""
+    del mat
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    query = query.astype(jnp.int32)
+    target = target.astype(jnp.int32)
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    w = w.astype(jnp.int32)
+    Bp = (B + tile_b - 1) // tile_b * tile_b
+    padn = Bp - B
+    if padn:
+        query = jnp.pad(query, ((0, padn), (0, 0)))
+        target = jnp.pad(target, ((0, padn), (0, 0)))
+        qlen = jnp.pad(qlen, (0, padn), constant_values=1)
+        tlen = jnp.pad(tlen, (0, padn), constant_values=1)
+        w = jnp.pad(w, (0, padn), constant_values=1)
+    params = jnp.zeros((Bp, 8), jnp.int32)
+    params = params.at[:, 0].set(qlen).at[:, 1].set(tlen).at[:, 2].set(w)
+    kernel = functools.partial(_global_kernel, Lt=Lt, o_del=o_del,
+                               e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                               match_sc=match_sc, mismatch_sc=mismatch_sc,
+                               n_sc=n_sc)
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((8, tile_b), jnp.int32),
+                   jax.ShapeDtypeStruct((Lt, Lq, tile_b), jnp.uint8)],
+        scratch_shapes=[
+            pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
+            pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    scores = []
+    zs = []
+    for c0 in range(0, Bp, tile_b):
+        sl = slice(c0, c0 + tile_b)
+        s8, zz = call(query[sl].T, target[sl].T, params[sl].T)
+        scores.append(s8[0])
+        zs.append(zz)
+    score = jnp.concatenate(scores)[:B]
+    # (n_chunks, Lt, Lq, tile) -> (B, Lt, Lq)
+    z = jnp.concatenate([zz.transpose(2, 0, 1) for zz in zs], axis=0)[:B]
+    return GlobalPallasResult(score=score, z=z)
+
+
+def traceback_unpacked(z: np.ndarray, qlen: int, tlen: int, w: int
+                       ) -> List[Tuple[int, int]]:
+    """Host CIGAR walk over unpacked (Lt, Lq) direction bytes."""
+    cigar: List[Tuple[int, int]] = []
+
+    def push(op, ln):
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + ln)
+        else:
+            cigar.append((op, ln))
+
+    which = 0
+    i = tlen - 1
+    k = min(i + w + 1, qlen) - 1
+    while i >= 0 and k >= 0:
+        which = (int(z[i, k]) >> (which << 1)) & 3
+        if which == 0:
+            push(0, 1)
+            i -= 1
+            k -= 1
+        elif which == 1:
+            push(2, 1)
+            i -= 1
+        else:
+            push(1, 1)
+            k -= 1
+    if i >= 0:
+        push(2, i + 1)
+    if k >= 0:
+        push(1, k + 1)
+    cigar.reverse()
+    return cigar

@@ -199,3 +199,33 @@ def test_local_matches_bruteforce(seed):
                               target[got.tb:got.te + 1], MAT,
                               O_DEL, E_DEL, O_INS, E_INS, 19)
         assert sub.score == best
+
+
+def test_global_long_insertion_traceback():
+    """Multi-base insertions exercise the F-extend direction bits (value 2
+    at bits 4-5); a mis-encoded bit walks the insertion as a deletion."""
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 4, 60).astype(np.int64)
+    # query = target with a 6-base insertion in the middle
+    ins = rng.integers(0, 4, 6).astype(np.int64)
+    query = np.concatenate([ref[:30], ins, ref[30:]])
+    score, cigar = ksw.global_align(query, ref, MAT, O_DEL, E_DEL,
+                                    O_INS, E_INS, 20)
+    qc = sum(l for op, l in cigar if op in (0, 1))
+    tc = sum(l for op, l in cigar if op in (0, 2))
+    assert qc == len(query) and tc == len(ref)
+    assert (1, 6) in cigar, cigar  # the 6I must appear as an insertion
+    # score from cigar equals reported score
+    s, x, y = 0, 0, 0
+    for op, l in cigar:
+        if op == 0:
+            for k in range(l):
+                s += int(MAT[ref[y + k], query[x + k]])
+            x, y = x + l, y + l
+        elif op == 1:
+            s -= O_INS + E_INS * l
+            x += l
+        else:
+            s -= O_DEL + E_DEL * l
+            y += l
+    assert s == score

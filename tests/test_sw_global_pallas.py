@@ -1,0 +1,44 @@
+"""Pallas banded-global kernel vs the scalar host reference."""
+
+import numpy as np
+import pytest
+
+from lariat_tpu.align import ksw
+from lariat_tpu.ops import sw_global_pallas
+
+MAT = np.asarray(ksw.fill_score_matrix(1, 4))
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_global_pallas_matches_host(seed):
+    rng = np.random.default_rng(seed + 70)
+    B, Lq, Lt = 10, 96, 112
+    qa = np.zeros((B, Lq), np.int32)
+    ta = np.zeros((B, Lt), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    wv = np.zeros(B, np.int32)
+    cases = []
+    for i in range(B):
+        ql = int(rng.integers(10, Lq + 1))
+        ref = rng.integers(0, 4, Lt + 8)
+        q = ref[:ql].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, ql))
+            q[p] = (q[p] + 1) % 4
+        tl = max(1, ql + int(rng.integers(-4, 5)))
+        t = ref[:tl].copy()
+        w = int(rng.choice([10, 25, 100]))
+        qa[i, :ql] = q
+        ta[i, :tl] = t
+        qlen[i], tlen[i], wv[i] = ql, tl, w
+        cases.append((q, t, w))
+    res = sw_global_pallas.global_batch_pallas(
+        qa, qlen, ta, tlen, MAT, wv, tile_b=8, interpret=True)
+    z = np.asarray(res.z)
+    for i, (q, t, w) in enumerate(cases):
+        want_score, want_cigar = ksw.global_align(
+            q.astype(np.int64), t.astype(np.int64), MAT, 6, 1, 6, 1, w)
+        assert int(res.score[i]) == want_score, (seed, i)
+        got = sw_global_pallas.traceback_unpacked(z[i], len(q), len(t), w)
+        assert got == want_cigar, (seed, i)
