@@ -542,7 +542,6 @@ class BatchAlignmentEngine(AlignmentEngine):
                 Lt = max(len(g.rseq) for g in run_idx)
                 Lq = -(-Lq // 64) * 64
                 Lt = -(-Lt // 64) * 64
-                n_col = min(Lq, 2 * (opt.band_width << 2) + 1)
                 qa = np.zeros((Bp, Lq), np.int32)
                 ta = np.zeros((Bp, Lt), np.int32)
                 qlen = np.zeros(Bp, np.int32)
@@ -554,17 +553,33 @@ class BatchAlignmentEngine(AlignmentEngine):
                     qlen[i] = len(g.q)
                     tlen[i] = len(g.rseq)
                     wv[i] = g.w2
-                res = sw_global_batch.global_batch(
-                    qa, qlen, ta, tlen, np.asarray(self.mat), wv, n_col,
-                    o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
-                    o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
-                zs = np.asarray(res.z)
-                begs = np.asarray(res.beg)
-                scores = np.asarray(res.score)
-                for i, g in enumerate(run_idx):
-                    g.score = int(scores[i])
-                    g.cigar = sw_global_batch.traceback(
-                        zs[i], begs[i], len(g.q), len(g.rseq), int(g.w2))
+                if self.use_pallas:
+                    from ..ops import sw_global_pallas
+                    res = sw_global_pallas.global_batch_pallas(
+                        qa, qlen, ta, tlen, np.asarray(self.mat), wv,
+                        o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                        o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
+                        match_sc=opt.match_score,
+                        mismatch_sc=-opt.mismatch_penalty)
+                    zs = np.asarray(res.z)
+                    scores = np.asarray(res.score)
+                    for i, g in enumerate(run_idx):
+                        g.score = int(scores[i])
+                        g.cigar = sw_global_pallas.traceback_unpacked(
+                            zs[i], len(g.q), len(g.rseq), int(g.w2))
+                else:
+                    n_col = min(Lq, 2 * (opt.band_width << 2) + 1)
+                    res = sw_global_batch.global_batch(
+                        qa, qlen, ta, tlen, np.asarray(self.mat), wv, n_col,
+                        o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                        o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
+                    zs = np.asarray(res.z)
+                    begs = np.asarray(res.beg)
+                    scores = np.asarray(res.score)
+                    for i, g in enumerate(run_idx):
+                        g.score = int(scores[i])
+                        g.cigar = sw_global_batch.traceback(
+                            zs[i], begs[i], len(g.q), len(g.rseq), int(g.w2))
             # replay the ladder's break conditions
             for g in wave:
                 if (g.score == g.last_sc or g.w2 == opt.band_width << 2):

@@ -94,3 +94,31 @@ def test_process_barcode_batched_matches_serial(dup_genome):  # noqa: F811
                     a1.duplicate) == \
                    (a2.pos, a2.aend, a2.contig, a2.reversed_, a2.score,
                     a2.cigar, a2.mapq, a2.active, a2.is_proper, a2.duplicate)
+
+
+def test_reg2aln_batch_pallas_interpret(dup_genome, monkeypatch):  # noqa: F811
+    """use_pallas reg2aln path (interpret mode on CPU) matches the host."""
+    import lariat_tpu.ops.sw_global_pallas as sgp
+    orig = sgp.global_batch_pallas
+    monkeypatch.setattr(
+        sgp, "global_batch_pallas",
+        lambda *a, **kw: orig(*a, **{**kw, "interpret": True, "tile_b": 8}))
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=True)
+    rng = np.random.default_rng(43)
+    seqs = _reads(genome, rng, n=10)
+    tasks = []
+    for seq in seqs:
+        for reg in host.align1(encode_read(seq)):
+            tasks.append((seq, reg))
+    # only exercise the reg2aln waves with pallas; extension wave also uses
+    # pallas in this engine, so patch extend too
+    import lariat_tpu.ops.sw_extend_pallas as sep
+    orig_e = sep.extend_batch_pallas
+    monkeypatch.setattr(
+        sep, "extend_batch_pallas",
+        lambda *a, **kw: orig_e(*a, **{**kw, "interpret": True, "tile_b": 8}))
+    got = batch.reg2aln_batch(tasks)
+    for (seq, reg), g in zip(tasks, got):
+        assert g == host.reg2aln(seq, reg), (seq, reg)
