@@ -77,11 +77,11 @@ class AlignmentEngine:
 
     # ------------------------------------------------------------------ align1
 
-    def align1(self, q: np.ndarray, mems=None) -> List[AlnReg]:
+    def align1(self, q: np.ndarray, mems=None, rbegs=None) -> List[AlnReg]:
         """mem_align1_core: all candidate regions for one read."""
         if len(q) == 0:
             return []
-        chains = chain_seeds(self.fm, q, self.opt, mems)
+        chains = chain_seeds(self.fm, q, self.opt, mems, rbegs)
         chains = filter_chains(self.opt, chains)
         # mem_flt_chained_seeds is a no-op for short reads: min_l =
         # 5.5*log(l) > 0.05*l holds for every read length below ~2 kb.
@@ -165,29 +165,74 @@ class AlignmentEngine:
             mate_regs.append(b)
         return 1
 
-    def align_pair(self, seq1: bytes, seq2: bytes, score_delta: int
+    def align_pair(self, seq1: bytes, seq2: bytes, score_delta: int,
+                   mems: Optional[Tuple[list, list]] = None
                    ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:
-        """GoBwaMemMateSW (gobwa.go:226-337): align both reads + mate rescue."""
+        """GoBwaMemMateSW (gobwa.go:226-337): align both reads + mate rescue.
+
+        ``mems`` optionally supplies precomputed SMEM lists for both mates
+        (see ``collect_mems_many`` — callers batch the native seeding call
+        across a whole barcode to amortize FFI overhead).
+        """
         q1 = encode_read(seq1)
         q2 = encode_read(seq2)
-        # one native seeding call for both mates halves the FFI overhead
-        mems1 = mems2 = None
-        both = [q for q in (q1, q2) if len(q)]
-        if both:
-            from ..index import native_ops
-            from .seeding import Intv
-            nat = native_ops.collect_seeds_batch(self.fm, both, self.opt)
-            if nat is not None:
-                it = iter(nat)
-                if len(q1):
-                    mems1 = [Intv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
-                                  int(r[4])) for r in next(it)]
-                if len(q2):
-                    mems2 = [Intv(int(r[0]), int(r[1]), int(r[2]), int(r[3]),
-                                  int(r[4])) for r in next(it)]
-        regs1 = self.align1(q1, mems1) if len(q1) else []
-        regs2 = self.align1(q2, mems2) if len(q2) else []
+        rbegs1 = rbegs2 = None
+        if mems is not None:
+            mems1, mems2 = mems
+            if isinstance(mems1, tuple):
+                mems1, rbegs1 = mems1
+            if isinstance(mems2, tuple):
+                mems2, rbegs2 = mems2
+        else:
+            # one native seeding call for both mates halves the FFI overhead
+            mems1 = mems2 = None
+            both = [q for q in (q1, q2) if len(q)]
+            if both:
+                nat = self.collect_mems_many(both)
+                if nat is not None:
+                    it = iter(nat)
+                    if len(q1):
+                        mems1 = next(it)
+                    if len(q2):
+                        mems2 = next(it)
+        regs1 = self.align1(q1, mems1, rbegs1) if len(q1) else []
+        regs2 = self.align1(q2, mems2, rbegs2) if len(q2) else []
         return self.finish_pair(q1, q2, regs1, regs2, score_delta)
+
+    def collect_mems_many(self, qs: List[np.ndarray], with_rbegs: bool = False
+                          ) -> Optional[list]:
+        """Native batched SMEM collection -> per-read Intv lists (or None).
+
+        With ``with_rbegs``, also dereferences every seed occurrence's SA
+        position in ONE batched native call and returns per-read
+        ``(mems, rbegs)`` pairs (rbegs in ``enumerate_occurrences`` order).
+        """
+        from ..index import native_ops
+        from .seeding import Intv
+        nat = native_ops.collect_seeds_batch(self.fm, qs, self.opt)
+        if nat is None:
+            return None
+        mems_lists = [[Intv(*row) for row in arr.tolist()] for arr in nat]
+        if not with_rbegs:
+            return mems_lists
+        from .chaining import enumerate_occurrences
+        all_rows: list = []
+        spans = []
+        for mems in mems_lists:
+            occs = enumerate_occurrences(mems, self.opt)
+            spans.append((len(all_rows), len(occs)))
+            all_rows.extend(row for _, row in occs)
+        if all_rows:
+            rows = np.array(all_rows, dtype=np.int64)
+            nb = native_ops.sa_lookup_batch(self.fm, rows)
+            if nb is None:
+                nb = np.array([self.fm.sa_lookup(int(r)) for r in rows],
+                              dtype=np.int64)
+            flat = nb.tolist()
+        else:
+            flat = []
+        return [(mems, flat[o:o + c])
+                for mems, (o, c) in zip(mems_lists, spans)]
 
     def finish_pair(self, q1, q2, regs1, regs2, score_delta: int
                     ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:

@@ -21,12 +21,75 @@ Scoring matrix: 5x5 over codes A,C,G,T,N (match a, mismatch -b, N row/col -1).
 
 from __future__ import annotations
 
+import ctypes
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 MINUS_INF = -0x40000000
+
+# ---------------------------------------------------------------------------
+# Native dispatch: native/ksw.cpp implements the same three routines in C++
+# (5-10x faster for the worker processes). The numpy versions below remain
+# the executable reference; set LARIAT_NO_NATIVE_KSW=1 to force them.
+# ---------------------------------------------------------------------------
+
+_native_lib = None
+_native_tried = False
+_mat_cache: dict = {}
+
+
+def _get_native():
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    if os.environ.get("LARIAT_NO_NATIVE_KSW"):
+        return None
+    try:
+        from lariat_tpu.index.suffix import _load_native
+        lib = _load_native()
+    except Exception:
+        lib = None
+    if lib is None or not hasattr(lib, "ksw_extend_one"):
+        return None
+    p = ctypes.c_void_p   # raw addresses (arr.ctypes.data) — cheapest FFI
+    c = ctypes.c_int
+    lib.ksw_extend_one.restype = None
+    lib.ksw_extend_one.argtypes = [p, c, p, c, c, c, c, c, c, c, c, c,
+                                   c, c, c, p]
+    lib.ksw_global_one.restype = ctypes.c_int32
+    lib.ksw_global_one.argtypes = [p, c, p, c, c, c, c, c, c, c, c, c,
+                                   p, p, ctypes.c_int32]
+    lib.ksw_local_one.restype = None
+    lib.ksw_local_one.argtypes = [p, c, p, c, c, c, c, c, c, c, c, c, p]
+    _native_lib = lib
+    return _native_lib
+
+
+def _mat_params(mat: np.ndarray) -> Optional[Tuple[int, int, int]]:
+    """(match, mismatch, n_score) if ``mat`` has the regular bwa structure
+    (a on the 4x4 diagonal, -b off it, constant N row/col), else None."""
+    key = mat.tobytes()
+    hit = _mat_cache.get(key)
+    if hit is not None:
+        return hit if hit != "no" else None
+    params: Optional[Tuple[int, int, int]] = None
+    if mat.shape == (5, 5):
+        a, b, n = int(mat[0, 0]), int(mat[0, 1]), int(mat[4, 0])
+        want = np.full((5, 5), n, dtype=np.int64)
+        want[:4, :4] = b
+        np.fill_diagonal(want[:4, :4], a)
+        if np.array_equal(mat.astype(np.int64), want):
+            params = (a, b, n)
+    _mat_cache[key] = params if params is not None else "no"
+    return params
+
+
+def _as_u8(seq: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(seq, dtype=np.uint8)
 
 
 def fill_score_matrix(a: int = 1, b: int = 4) -> np.ndarray:
@@ -74,6 +137,17 @@ def extend(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     qlen, tlen = len(query), len(target)
     if qlen == 0:
         return ExtendResult(h0, 0, 0, 0, h0, 0)
+    lib = _get_native()
+    if lib is not None:
+        params = _mat_params(mat)
+        if params is not None:
+            q8, t8 = _as_u8(query), _as_u8(target)
+            out = np.empty(6, dtype=np.int32)
+            lib.ksw_extend_one(
+                q8.ctypes.data, qlen, t8.ctypes.data, tlen,
+                o_del, e_del, o_ins, e_ins, w, end_bonus, zdrop, h0,
+                params[0], params[1], params[2], out.ctypes.data)
+            return ExtendResult(*out.tolist())
     oe_del = o_del + e_del
     oe_ins = o_ins + e_ins
     max_sc = int(mat.max())
@@ -166,6 +240,25 @@ def global_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     qlen, tlen = len(query), len(target)
     if qlen == 0 or tlen == 0:
         return MINUS_INF, None
+    lib = _get_native()
+    if lib is not None:
+        params = _mat_params(mat)
+        if params is not None:
+            q8, t8 = _as_u8(query), _as_u8(target)
+            score_out = np.empty(1, dtype=np.int32)
+            cap = qlen + tlen + 2
+            cig = np.empty(2 * cap, dtype=np.int32)
+            n_ops = lib.ksw_global_one(
+                q8.ctypes.data, qlen, t8.ctypes.data, tlen,
+                o_del, e_del, o_ins, e_ins, w,
+                params[0], params[1], params[2],
+                score_out.ctypes.data, cig.ctypes.data, cap)
+            if n_ops >= 0:
+                if not want_cigar:
+                    return int(score_out[0]), None
+                flat = cig[:2 * n_ops].tolist()
+                cigar = list(zip(flat[0::2], flat[1::2]))
+                return int(score_out[0]), cigar
     gapoe_del = o_del + e_del
     gapoe_ins = o_ins + e_ins
     n_col = min(qlen, 2 * w + 1)
@@ -187,9 +280,13 @@ def global_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
         M = eh_h[beg:end] + sub
         E = eh_e[beg:end]
         F = _scan_gap(M - gapoe_ins, e_ins)
-        if beg == 0:
-            # F(i,0) starts at MINUS_INF (no cell to the left inside band)
-            F[0] = MINUS_INF
+        # bwa's per-cell chain starts f at the FINITE MINUS_INF sentinel and
+        # decays it by e_ins per column; the decayed sentinel can win the
+        # strict f>t comparison at the left band edge and flip direction
+        # bits there, so replicate it for bit-exact tracebacks.
+        F = np.maximum(F, MINUS_INF
+                       - np.arange(end - beg, dtype=np.int64) * e_ins)
+        F[0] = MINUS_INF
         h = np.maximum(M, E)
         d = np.where(M >= E, 0, 1).astype(np.uint8)
         d = np.where(h >= F, d, 2)
@@ -309,6 +406,17 @@ def local_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     target = np.asarray(target, dtype=np.int64)
     if len(query) == 0 or len(target) == 0:
         return LocalResult(0, -1, -1, -1, -1, -1, -1)
+    lib = _get_native()
+    if lib is not None:
+        params = _mat_params(mat)
+        if params is not None:
+            q8, t8 = _as_u8(query), _as_u8(target)
+            out = np.empty(7, dtype=np.int32)
+            lib.ksw_local_one(
+                q8.ctypes.data, len(query), t8.ctypes.data, len(target),
+                o_del, e_del, o_ins, e_ins, minsc,
+                params[0], params[1], params[2], out.ctypes.data)
+            return LocalResult(*out.tolist())
     score, te, qe, score2, te2 = _local_core(
         query, target, mat, o_del, e_del, o_ins, e_ins, minsc, 1 << 30)
     if te < 0 or score < minsc:

@@ -200,12 +200,23 @@ class FMIndex:
 
     # ---------------- sequence fetch ---------------------------------------
 
+    # Genomes below this size keep a fully unpacked codes array (1 byte/base)
+    # for O(1) window fetches; larger ones (hg38 ~3.1 GB) unpack per window.
+    # Workers forked after the first fetch share the cache copy-on-write.
+    CODES_CACHE_MAX = 1 << 31
+
     def get_seq_codes(self, start: int, end: int) -> np.ndarray:
         """Base codes of the forward pac in global coords [start, end)."""
         start = max(0, int(start))
         end = min(self.l_pac, int(end))
         if end <= start:
             return np.zeros(0, dtype=np.uint8)
+        cache = getattr(self, "_codes_cache", None)
+        if cache is None and self.l_pac <= self.CODES_CACHE_MAX:
+            cache = unpack_2bit(self.pac, self.l_pac)
+            self._codes_cache = cache
+        if cache is not None:
+            return cache[start:end]
         first_byte = start // 4
         last_byte = (end + 3) // 4
         codes = unpack_2bit(self.pac[first_byte:last_byte],

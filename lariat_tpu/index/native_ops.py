@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import threading
 from typing import List, Optional
 
 import numpy as np
@@ -15,14 +16,24 @@ _c_u8p = ctypes.POINTER(ctypes.c_uint8)
 
 N_THREADS = 4
 
+_tls = threading.local()
 
-def _views(fm):
-    return (fm.packed_words.ctypes.data_as(_c_u32p),
-            np.ascontiguousarray(fm.occ_ckpt).ctypes.data_as(_c_i64p),
-            fm.L2.ctypes.data_as(_c_i64p),
-            fm.sa_samples.ctypes.data_as(_c_i64p),
-            ctypes.c_int64(fm.primary), ctypes.c_int64(fm.seq_len),
-            ctypes.c_int64(fm.sa_intv))
+
+def _fm_ptrs(fm):
+    """Cached ctypes argument prefix for an FMIndex (pointers stay valid:
+    the pointed-to arrays are cached on the fm object)."""
+    t = getattr(fm, "_native_ptr_cache", None)
+    if t is None:
+        occ = np.ascontiguousarray(fm.occ_ckpt)
+        fm._occ_contig_cache = occ
+        t = (fm.packed_words.ctypes.data_as(_c_u32p),
+             occ.ctypes.data_as(_c_i64p),
+             fm.L2.ctypes.data_as(_c_i64p),
+             fm.sa_samples.ctypes.data_as(_c_i64p),
+             ctypes.c_int64(fm.primary), ctypes.c_int64(fm.seq_len),
+             ctypes.c_int64(fm.sa_intv))
+        fm._native_ptr_cache = t
+    return t
 
 
 def _occ_contig(fm):
@@ -31,6 +42,14 @@ def _occ_contig(fm):
         occ = np.ascontiguousarray(fm.occ_ckpt)
         fm._occ_contig_cache = occ
     return occ
+
+
+def _scratch(cap: int) -> np.ndarray:
+    buf = getattr(_tls, "seed_out", None)
+    if buf is None or len(buf) < cap:
+        buf = np.empty((cap, 5), dtype=np.int64)
+        _tls.seed_out = buf
+    return buf
 
 
 def collect_seeds_batch(fm, reads: List[np.ndarray], opt
@@ -43,35 +62,32 @@ def collect_seeds_batch(fm, reads: List[np.ndarray], opt
     n = len(reads)
     if n == 0:
         return []
+    lens = np.fromiter((len(r) for r in reads), np.int64, n)
     offsets = np.zeros(n + 1, dtype=np.int64)
-    for i, r in enumerate(reads):
-        offsets[i + 1] = offsets[i] + len(r)
+    np.cumsum(lens, out=offsets[1:])
+    total_len = int(offsets[-1])
     flat = np.concatenate([np.asarray(r, dtype=np.uint8) for r in reads]) \
-        if offsets[-1] else np.zeros(1, np.uint8)
-    occ = _occ_contig(fm)
-    cap = int(offsets[-1]) * 2 + 64 * n + 64
-    out = np.zeros((cap, 5), dtype=np.int64)
-    counts = np.zeros(n, dtype=np.int64)
-    offs = np.zeros(n, dtype=np.int64)
+        if total_len else np.zeros(1, np.uint8)
+    cap = total_len * 2 + 64 * n + 64
+    out = _scratch(cap)
+    counts = np.empty(n, dtype=np.int64)
+    offs = np.empty(n, dtype=np.int64)
+    ptrs = _fm_ptrs(fm)
     while True:
         total = lib.fm_collect_seeds_batch(
-            fm.packed_words.ctypes.data_as(_c_u32p),
-            occ.ctypes.data_as(_c_i64p),
-            fm.L2.ctypes.data_as(_c_i64p),
-            fm.sa_samples.ctypes.data_as(_c_i64p),
-            ctypes.c_int64(fm.primary), ctypes.c_int64(fm.seq_len),
-            ctypes.c_int64(fm.sa_intv),
+            *ptrs,
             flat.ctypes.data_as(_c_u8p), offsets.ctypes.data_as(_c_i64p),
             ctypes.c_int64(n), ctypes.c_int(opt.min_seed_len),
             ctypes.c_double(opt.split_factor), ctypes.c_int(opt.split_width),
             ctypes.c_int64(opt.max_mem_intv),
-            out.ctypes.data_as(_c_i64p), ctypes.c_int64(cap),
+            out.ctypes.data_as(_c_i64p), ctypes.c_int64(len(out)),
             counts.ctypes.data_as(_c_i64p), offs.ctypes.data_as(_c_i64p),
             ctypes.c_int(N_THREADS))
         if total >= 0:
             break
-        cap *= 4
-        out = np.zeros((cap, 5), dtype=np.int64)
+        cap = len(out) * 4
+        _tls.seed_out = None
+        out = _scratch(cap)
     return [out[offs[i]:offs[i] + counts[i]].copy() for i in range(n)]
 
 
@@ -80,15 +96,9 @@ def sa_lookup_batch(fm, rows: np.ndarray) -> Optional[np.ndarray]:
     if lib is None or not hasattr(lib, "fm_sa_lookup_batch"):
         return None
     rows = np.ascontiguousarray(rows, dtype=np.int64)
-    out = np.zeros(len(rows), dtype=np.int64)
-    occ = _occ_contig(fm)
+    out = np.empty(len(rows), dtype=np.int64)
     lib.fm_sa_lookup_batch(
-        fm.packed_words.ctypes.data_as(_c_u32p),
-        occ.ctypes.data_as(_c_i64p),
-        fm.L2.ctypes.data_as(_c_i64p),
-        fm.sa_samples.ctypes.data_as(_c_i64p),
-        ctypes.c_int64(fm.primary), ctypes.c_int64(fm.seq_len),
-        ctypes.c_int64(fm.sa_intv),
+        *_fm_ptrs(fm),
         rows.ctypes.data_as(_c_i64p), ctypes.c_int64(len(rows)),
         out.ctypes.data_as(_c_i64p), ctypes.c_int(N_THREADS))
     return out

@@ -89,6 +89,10 @@ def global_batch(query: jnp.ndarray, qlen: jnp.ndarray,
             [jnp.full((B, 1), NEG, jnp.int32),
              run[:, :-1] - jr[:, :-1] * e_ins], axis=1)
         F = jnp.where(jr == beg[:, None], NEG, F)
+        # bwa-exact: f starts at the FINITE NEG sentinel at band start and
+        # decays by e_ins per column; the decayed sentinel can win the strict
+        # f>t comparison at the left band edge (flips F-extend bits there)
+        F = jnp.maximum(F, NEG - (jr - beg[:, None]) * e_ins)
         d = jnp.where(M >= E, 0, 1).astype(jnp.uint8)
         h = jnp.maximum(M, E)
         d = jnp.where(h >= F, d, jnp.uint8(2))

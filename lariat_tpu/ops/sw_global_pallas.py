@@ -76,6 +76,10 @@ def _global_kernel(q_ref, t_ref, params_ref, score_ref, z_ref,
             [jnp.full((1, T), NEG, jnp.int32), F[:-1] - jr[:-1] * e_ins],
             axis=0)
         F = jnp.where(jr == beg, negv, F)
+        # bwa-exact: f starts at the FINITE NEG sentinel at band start and
+        # decays by e_ins per column; the decayed sentinel can win the strict
+        # f>t comparison at the left band edge (flips F-extend bits there)
+        F = jnp.maximum(F, negv - (jr - beg) * e_ins)
         d = jnp.where(M >= E, z, jnp.int32(1))
         h = jnp.maximum(M, E)
         d = jnp.where(h >= F, d, jnp.int32(2))

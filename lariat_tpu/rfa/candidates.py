@@ -68,6 +68,26 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
             pair_results.append(engine.finish_pair(
                 q1, q2, all_regs[2 * i] if len(q1) else [],
                 all_regs[2 * i + 1] if len(q2) else [], score_delta))
+    # non-batched engines: one native seeding call for the whole barcode
+    barcode_mems = None
+    if (pair_results is None and reads
+            and hasattr(engine, "collect_mems_many")):
+        from ..align.engine import encode_read
+        qs, where = [], []
+        for i, rec in enumerate(reads):
+            for k, seq in enumerate((rec.read1, rec.read2)):
+                q = encode_read(seq)
+                if len(q):
+                    qs.append(q)
+                    where.append(2 * i + k)
+        mems_all = (engine.collect_mems_many(qs, with_rbegs=True)
+                    if qs else [])
+        if mems_all is not None:
+            flat = [None] * (2 * len(reads))
+            for slot, m in zip(where, mems_all):
+                flat[slot] = m
+            barcode_mems = [(flat[2 * i], flat[2 * i + 1])
+                            for i in range(len(reads))]
     out: List[List[ChainedHit]] = []
     hit_num = 0
     barcode = ""
@@ -75,7 +95,9 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
         if pair_results is not None:
             ea1, ea2 = pair_results[i]
         else:
-            ea1, ea2 = engine.align_pair(rec.read1, rec.read2, score_delta)
+            ea1, ea2 = engine.align_pair(
+                rec.read1, rec.read2, score_delta,
+                mems=None if barcode_mems is None else barcode_mems[i])
         barcode = rec.barcode10x.decode()
         lst1: List[ChainedHit] = []
         for ea in ea1:
@@ -243,17 +265,21 @@ def tag_best_alignments(alignments: List[List[Alignment]],
     positions: List[List[Alignment]] = []
     contigs = {}
     touched = [False] * len(alignments)
-    for read_id, arr in enumerate(alignments):
-        was_touched = touched[read_id]
-        best_score = -float("inf")
-        best_alignment: Optional[Alignment] = None
-        best_mate: Optional[Alignment] = None
+    seeds = []
+    for arr in alignments:
         seed = 1
         if arr:
             digest = hashlib.md5(arr[0].read_name.encode()).digest()
             seed_u = int.from_bytes(digest[0:8], "little")
             seed = seed_u - (1 << 64) if seed_u >= (1 << 63) else seed_u
-        random = GoRand(seed)
+        seeds.append(seed)
+    randoms = GoRand.batch(seeds) if seeds else []
+    for read_id, arr in enumerate(alignments):
+        was_touched = touched[read_id]
+        best_score = -float("inf")
+        best_alignment: Optional[Alignment] = None
+        best_mate: Optional[Alignment] = None
+        random = randoms[read_id]
         for aln in arr:
             if read_id != aln.read_id:
                 raise RuntimeError("read id mismatch")

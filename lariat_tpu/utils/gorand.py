@@ -105,6 +105,28 @@ def _get_powers() -> np.ndarray:
 class GoRand:
     """rand.New(rand.NewSource(seed)) value stream."""
 
+    @classmethod
+    def batch(cls, seeds) -> list:
+        """Vectorized construction of many generators (one chain matmul)."""
+        cooked = _get_cooked()
+        s = np.fromiter((int(x) % INT32_MAX for x in seeds), np.int64,
+                        len(seeds))
+        s[s == 0] = 89482311
+        su = s.astype(np.uint64)
+        chain = (su[:, None] * _get_powers()[None, :]) % np.uint64(INT32_MAX)
+        a = chain[:, 21:21 + 3 * RNG_LEN:3]
+        b = chain[:, 22:22 + 3 * RNG_LEN:3]
+        c = chain[:, 23:23 + 3 * RNG_LEN:3]
+        u = (a << np.uint64(40)) ^ (b << np.uint64(20)) ^ c ^ cooked[None, :]
+        out = []
+        for row in u:
+            obj = cls.__new__(cls)
+            obj.tap = 0
+            obj.feed = RNG_LEN - RNG_TAP
+            obj.vec = row.tolist()
+            out.append(obj)
+        return out
+
     def __init__(self, seed: int):
         cooked = _get_cooked()
         self.tap = 0

@@ -1,0 +1,279 @@
+// Host-side Smith-Waterman DP kernels (C++), exact ksw_* semantics.
+//
+// Native versions of the three DP routines in lariat_tpu/align/ksw.py (the
+// reference's C hot loops #2/#3 and mate-rescue SW). Used by the worker
+// processes; the Pallas kernels in lariat_tpu/ops cover the device path.
+// Semantics are asserted equal to the Python reference by the existing ksw
+// test suite (the Python wrappers dispatch here when the library is built).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int32_t NEG = -0x40000000;
+
+inline int32_t score_sub(int q, int t, int match_sc, int mismatch_sc,
+                         int n_sc) {
+  if (q >= 4 || t >= 4) return n_sc;
+  return q == t ? match_sc : mismatch_sc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ksw_extend2. out: [score, qle, tle, gtle, gscore, max_off].
+void ksw_extend_one(const uint8_t* query, int qlen, const uint8_t* target,
+                    int tlen, int o_del, int e_del, int o_ins, int e_ins,
+                    int w, int end_bonus, int zdrop, int h0, int match_sc,
+                    int mismatch_sc, int n_sc, int32_t* out) {
+  if (qlen == 0) {
+    out[0] = h0; out[1] = 0; out[2] = 0; out[3] = 0; out[4] = h0; out[5] = 0;
+    return;
+  }
+  int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  int max_sc = match_sc;
+  int max_ins = (int)(((double)qlen * max_sc + end_bonus - o_ins) / e_ins + 1.0);
+  if (max_ins < 1) max_ins = 1;
+  int max_del = (int)(((double)qlen * max_sc + end_bonus - o_del) / e_del + 1.0);
+  if (max_del < 1) max_del = 1;
+  w = std::min(w, std::min(max_ins, max_del));
+  std::vector<int32_t> eh_h(qlen + 2, 0), eh_e(qlen + 2, 0);
+  eh_h[0] = h0;
+  eh_h[1] = h0 > oe_ins ? h0 - oe_ins : 0;
+  for (int j = 2; j <= qlen && eh_h[j - 1] > e_ins; ++j)
+    eh_h[j] = eh_h[j - 1] - e_ins;
+  int32_t max_score = h0, max_i = -1, max_j = -1, max_ie = -1, gscore = -1,
+          max_off = 0;
+  for (int i = 0; i < tlen; ++i) {
+    int beg = i > w ? i - w : 0;
+    int end = std::min(i + w + 1, qlen);
+    if (beg >= end) {
+      if (beg == qlen && gscore < 0) { max_ie = i; gscore = 0; }
+      break;
+    }
+    int32_t f = 0, m = 0, mj = -1, h1;
+    if (beg == 0) {
+      h1 = h0 - (o_del + e_del * (i + 1));
+      if (h1 < 0) h1 = 0;
+    } else {
+      h1 = 0;
+    }
+    int tc = target[i];
+    for (int j = beg; j < end; ++j) {
+      int32_t M = eh_h[j], e = eh_e[j];
+      eh_h[j] = h1;
+      M = M ? M + score_sub(query[j], tc, match_sc, mismatch_sc, n_sc) : 0;
+      int32_t h = M > e ? M : e;
+      h = h > f ? h : f;
+      h1 = h;
+      if (m <= h) { mj = j; m = h; }
+      int32_t t = M - oe_del;
+      t = t > 0 ? t : 0;
+      e -= e_del;
+      e = e > t ? e : t;
+      eh_e[j] = e;
+      t = M - oe_ins;
+      t = t > 0 ? t : 0;
+      f -= e_ins;
+      f = f > t ? f : t;
+    }
+    eh_h[end] = h1;
+    eh_e[end] = 0;
+    if (end == qlen && gscore < h1) { max_ie = i; gscore = h1; }
+    if (m == 0) break;
+    if (m > max_score) {
+      max_score = m; max_i = i; max_j = mj;
+      if (std::abs(mj - i) > max_off) max_off = std::abs(mj - i);
+    } else if (zdrop > 0) {
+      if (i - max_i > mj - max_j) {
+        if (max_score - m - ((i - max_i) - (mj - max_j)) * e_del > zdrop) break;
+      } else {
+        if (max_score - m - ((mj - max_j) - (i - max_i)) * e_ins > zdrop) break;
+      }
+    }
+  }
+  out[0] = max_score; out[1] = max_j + 1; out[2] = max_i + 1;
+  out[3] = max_ie + 1; out[4] = gscore; out[5] = max_off;
+}
+
+// ksw_global2 with traceback. cigar_out holds (op, len) int32 pairs; returns
+// number of ops, or -1 if cigar_cap exceeded. score written to *score_out.
+// Ops: 0=M, 1=I, 2=D.
+// Traceback is only defined for w >= |qlen - tlen| (band covers the end
+// cell); all engine call sites guarantee this (_infer_bw). For narrower
+// bands upstream bwa reads uninitialized malloc memory in the walk; here the
+// walk reads zero/neighbor bytes instead (score is still exact).
+int32_t ksw_global_one(const uint8_t* query, int qlen, const uint8_t* target,
+                       int tlen, int o_del, int e_del, int o_ins, int e_ins,
+                       int w, int match_sc, int mismatch_sc, int n_sc,
+                       int32_t* score_out, int32_t* cigar_out,
+                       int32_t cigar_cap) {
+  if (qlen == 0 || tlen == 0) { *score_out = NEG; return 0; }
+  int gapoe_del = o_del + e_del, gapoe_ins = o_ins + e_ins;
+  int n_col = std::min(qlen, 2 * w + 1);
+  std::vector<uint8_t> z((size_t)tlen * n_col, 0);
+  std::vector<int32_t> eh_h(qlen + 2, NEG), eh_e(qlen + 2, NEG);
+  eh_h[0] = 0;
+  for (int j = 1; j <= qlen && j <= w; ++j) eh_h[j] = -(o_ins + e_ins * j);
+  for (int i = 0; i < tlen; ++i) {
+    int beg = i > w ? i - w : 0;
+    int end = std::min(i + w + 1, qlen);
+    if (beg >= end) break;
+    int32_t f = NEG, h1 = beg == 0 ? -(o_del + e_del * (i + 1)) : NEG;
+    uint8_t* zi = &z[(size_t)i * n_col];
+    int tc = target[i];
+    for (int j = beg; j < end; ++j) {
+      int32_t M = eh_h[j], e = eh_e[j];
+      eh_h[j] = h1;
+      M += score_sub(query[j], tc, match_sc, mismatch_sc, n_sc);
+      uint8_t d = M >= e ? 0 : 1;
+      int32_t h = M >= e ? M : e;
+      d = h >= f ? d : 2;
+      h = h >= f ? h : f;
+      h1 = h;
+      int32_t t = M - gapoe_del;
+      e -= e_del;
+      if (e > t) d |= 1 << 2; else e = t;
+      eh_e[j] = e;
+      t = M - gapoe_ins;
+      f -= e_ins;
+      if (f > t) d |= 2 << 4; else f = t;
+      zi[j - beg] = d;
+    }
+    eh_h[end] = h1;
+    eh_e[end] = NEG;
+  }
+  *score_out = eh_h[qlen];
+  // backtrack
+  int n_ops = 0;
+  auto push = [&](int op, int ln) -> bool {
+    if (n_ops && cigar_out[2 * (n_ops - 1)] == op) {
+      cigar_out[2 * (n_ops - 1) + 1] += ln;
+      return true;
+    }
+    if (n_ops >= cigar_cap) return false;
+    cigar_out[2 * n_ops] = op;
+    cigar_out[2 * n_ops + 1] = ln;
+    ++n_ops;
+    return true;
+  };
+  int which = 0, i = tlen - 1;
+  int k = std::min(i + w + 1, qlen) - 1;
+  while (i >= 0 && k >= 0) {
+    int beg = i > w ? i - w : 0;
+    which = (z[(size_t)i * n_col + (k - beg)] >> (which << 1)) & 3;
+    bool ok;
+    if (which == 0) { ok = push(0, 1); --i; --k; }
+    else if (which == 1) { ok = push(2, 1); --i; }
+    else { ok = push(1, 1); --k; }
+    if (!ok) return -1;
+  }
+  if (i >= 0 && !push(2, i + 1)) return -1;
+  if (k >= 0 && !push(1, k + 1)) return -1;
+  // reverse op pairs
+  for (int a = 0, b = n_ops - 1; a < b; ++a, --b) {
+    std::swap(cigar_out[2 * a], cigar_out[2 * b]);
+    std::swap(cigar_out[2 * a + 1], cigar_out[2 * b + 1]);
+  }
+  return n_ops;
+}
+
+// ksw local SW, one direction: fills [score, te, qe, score2, te2].
+static void local_core(const uint8_t* query, int qlen, const uint8_t* target,
+                       int tlen, int o_del, int e_del, int o_ins, int e_ins,
+                       int minsc, int endsc, int match_sc, int mismatch_sc,
+                       int n_sc, int32_t* out) {
+  int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+  std::vector<int32_t> H_prev(qlen, 0), E(qlen, 0), H(qlen, 0);
+  int32_t gmax = 0, te = -1;
+  std::vector<int32_t> best_col;
+  // merged consecutive-column maxima: (max, col)
+  std::vector<std::pair<int32_t, int32_t>> col_bests;
+  for (int i = 0; i < tlen; ++i) {
+    int tc = target[i];
+    int32_t f = 0;
+    int32_t col_max = 0;
+    for (int j = 0; j < qlen; ++j) {
+      int32_t diag = j > 0 ? H_prev[j - 1] : 0;
+      int32_t M = diag + score_sub(query[j], tc, match_sc, mismatch_sc, n_sc);
+      int32_t h0v = std::max({M, E[j], 0});
+      // F from final H of previous cells (dominance: scan over h0 works
+      // only if F itself propagates; do the exact per-cell chain instead)
+      int32_t h = std::max(h0v, f);
+      int32_t t = h - oe_ins;   // NOTE: ksw local opens gaps from final h
+      f = std::max(f - e_ins, t > 0 ? t : 0);
+      if (f < 0) f = 0;
+      E[j] = std::max({E[j] - e_del, h - oe_del, 0});
+      H[j] = h;
+      if (h > col_max) col_max = h;
+    }
+    std::swap(H_prev, H);
+    if (col_max >= minsc) {
+      if (col_bests.empty() || col_bests.back().second + 1 != i)
+        col_bests.push_back({col_max, i});
+      else if (col_bests.back().first < col_max)
+        col_bests.back() = {col_max, i};
+    }
+    if (col_max > gmax) {
+      gmax = col_max;
+      te = i;
+      best_col = H_prev;
+      if (gmax >= endsc) break;
+    }
+  }
+  if (te < 0) { out[0] = 0; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
+                return; }
+  int32_t qe = 0;
+  for (int j = 1; j < qlen; ++j)
+    if (best_col[j] > best_col[qe]) qe = j;
+  int32_t score2 = -1, te2 = -1;
+  int radius = (gmax + match_sc - 1) / match_sc;
+  for (auto& cb : col_bests) {
+    if ((cb.second < te - radius || cb.second > te + radius)
+        && cb.first > score2) {
+      score2 = cb.first;
+      te2 = cb.second;
+    }
+  }
+  out[0] = gmax; out[1] = te; out[2] = qe; out[3] = score2; out[4] = te2;
+}
+
+// Full local alignment (XSUBO|XSTART): [score, qb, qe, tb, te, score2, te2].
+void ksw_local_one(const uint8_t* query, int qlen, const uint8_t* target,
+                   int tlen, int o_del, int e_del, int o_ins, int e_ins,
+                   int minsc, int match_sc, int mismatch_sc, int n_sc,
+                   int32_t* out) {
+  if (qlen == 0 || tlen == 0) {
+    out[0] = 0; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
+    out[5] = -1; out[6] = -1;
+    return;
+  }
+  int32_t fwd[5];
+  local_core(query, qlen, target, tlen, o_del, e_del, o_ins, e_ins, minsc,
+             1 << 30, match_sc, mismatch_sc, n_sc, fwd);
+  int32_t score = fwd[0], te = fwd[1], qe = fwd[2];
+  if (te < 0 || score < minsc) {
+    out[0] = score; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
+    out[5] = fwd[3]; out[6] = fwd[4];
+    return;
+  }
+  std::vector<uint8_t> rq(qe + 1), rt(te + 1);
+  for (int j = 0; j <= qe; ++j) rq[j] = query[qe - j];
+  for (int i = 0; i <= te; ++i) rt[i] = target[te - i];
+  int32_t rev[5];
+  local_core(rq.data(), qe + 1, rt.data(), te + 1, o_del, e_del, o_ins,
+             e_ins, 1 << 30, score, match_sc, mismatch_sc, n_sc, rev);
+  out[0] = score;
+  out[1] = qe - rev[2];
+  out[2] = qe;
+  out[3] = te - rev[1];
+  out[4] = te;
+  out[5] = fwd[3];
+  out[6] = fwd[4];
+}
+
+}  // extern "C"
