@@ -11,6 +11,10 @@
 #include <cstring>
 #include <vector>
 
+#ifdef __SSE2__
+#include <emmintrin.h>
+#endif
+
 namespace {
 
 constexpr int32_t NEG = -0x40000000;
@@ -182,11 +186,138 @@ int32_t ksw_global_one(const uint8_t* query, int qlen, const uint8_t* target,
   return n_ops;
 }
 
+#ifdef __SSE2__
+// Striped (Farrar) local SW, 8x int16 lanes. Bit-exact vs the scalar core:
+// the lazy-F fixup also re-opens E from F-raised H cells (plain Farrar/ksw
+// omit that and underestimate I->D transitions), and padded lanes are
+// masked out of the row maxima. Returns false when int16 range is unsafe.
+static bool local_core_sse(const uint8_t* query, int qlen,
+                           const uint8_t* target, int tlen, int o_del,
+                           int e_del, int o_ins, int e_ins, int minsc,
+                           int endsc, int match_sc, int mismatch_sc,
+                           int n_sc, int32_t* out) {
+  if ((int64_t)qlen * match_sc > 30000 || qlen < 2) return false;
+  const int nseg = (qlen + 7) / 8;
+  const int16_t PAD = -30000;
+  std::vector<__m128i> prof(5 * nseg), E(nseg), H0(nseg), H1(nseg),
+      mask(nseg), best(nseg);
+  for (int t = 0; t < 5; ++t) {
+    int16_t* p = (int16_t*)&prof[t * nseg];
+    for (int s = 0; s < nseg; ++s)
+      for (int l = 0; l < 8; ++l) {
+        int j = s + l * nseg;
+        p[s * 8 + l] = j < qlen
+            ? (int16_t)score_sub(query[j], t, match_sc, mismatch_sc, n_sc)
+            : PAD;
+      }
+  }
+  for (int s = 0; s < nseg; ++s) {
+    int16_t* m = (int16_t*)&mask[s];
+    for (int l = 0; l < 8; ++l)
+      m[l] = (s + l * nseg) < qlen ? (int16_t)-1 : 0;
+    E[s] = _mm_setzero_si128();
+    H0[s] = _mm_setzero_si128();
+  }
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i voe_del = _mm_set1_epi16((int16_t)(o_del + e_del));
+  const __m128i ve_del = _mm_set1_epi16((int16_t)e_del);
+  const __m128i voe_ins = _mm_set1_epi16((int16_t)(o_ins + e_ins));
+  const __m128i ve_ins = _mm_set1_epi16((int16_t)e_ins);
+  int32_t gmax = 0, te = -1;
+  bool have_best = false;
+  std::vector<std::pair<int32_t, int32_t>> col_bests;
+  for (int i = 0; i < tlen; ++i) {
+    const __m128i* P = &prof[(size_t)target[i] * nseg];
+    __m128i vF = zero;
+    __m128i vH = _mm_slli_si128(H0[nseg - 1], 2);  // diag, 0 at lane 0
+    __m128i vmax = zero;
+    for (int s = 0; s < nseg; ++s) {
+      __m128i h = _mm_adds_epi16(vH, P[s]);
+      h = _mm_max_epi16(h, E[s]);
+      h = _mm_max_epi16(h, vF);
+      h = _mm_max_epi16(h, zero);
+      vmax = _mm_max_epi16(vmax, _mm_and_si128(h, mask[s]));
+      H1[s] = h;
+      __m128i hd = _mm_subs_epi16(h, voe_del);
+      E[s] = _mm_max_epi16(_mm_max_epi16(_mm_subs_epi16(E[s], ve_del), hd),
+                           zero);
+      __m128i hi = _mm_subs_epi16(h, voe_ins);
+      vF = _mm_max_epi16(_mm_max_epi16(_mm_subs_epi16(vF, ve_ins), hi),
+                         zero);
+      vH = H0[s];
+    }
+    // lazy-F fixup across the lane wrap (exact: E re-opened from raised H)
+    vF = _mm_slli_si128(vF, 2);
+    for (int k = 0; k < 8; ++k) {
+      int s = 0;
+      for (; s < nseg; ++s) {
+        __m128i h = _mm_max_epi16(H1[s], vF);
+        H1[s] = h;
+        vmax = _mm_max_epi16(vmax, _mm_and_si128(h, mask[s]));
+        E[s] = _mm_max_epi16(E[s], _mm_subs_epi16(h, voe_del));
+        __m128i thr =
+            _mm_max_epi16(_mm_subs_epi16(h, voe_ins), zero);
+        vF = _mm_subs_epi16(vF, ve_ins);
+        if (!_mm_movemask_epi8(_mm_cmpgt_epi16(vF, thr))) { s = -1; break; }
+      }
+      if (s == -1) break;
+      vF = _mm_slli_si128(vF, 2);
+    }
+    // horizontal max of vmax
+    __m128i t1 = _mm_max_epi16(vmax, _mm_srli_si128(vmax, 8));
+    t1 = _mm_max_epi16(t1, _mm_srli_si128(t1, 4));
+    t1 = _mm_max_epi16(t1, _mm_srli_si128(t1, 2));
+    int32_t col_max = (int16_t)_mm_extract_epi16(t1, 0);
+    std::swap(H0, H1);
+    if (col_max >= minsc) {
+      if (col_bests.empty() || col_bests.back().second + 1 != i)
+        col_bests.push_back({col_max, i});
+      else if (col_bests.back().first < col_max)
+        col_bests.back() = {col_max, i};
+    }
+    if (col_max > gmax) {
+      gmax = col_max;
+      te = i;
+      best = H0;
+      have_best = true;
+      if (gmax >= endsc) break;
+    }
+  }
+  if (te < 0 || !have_best) {
+    out[0] = 0; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
+    return true;
+  }
+  // unstripe the saved best row; qe = FIRST position achieving the max
+  int32_t qe = 0, qbest = -0x8000;
+  for (int j = 0; j < qlen; ++j) {
+    int s = j % nseg, l = j / nseg;
+    int16_t v = ((const int16_t*)&best[s])[l];
+    if (v > qbest) { qbest = v; qe = j; }
+  }
+  int32_t score2 = -1, te2 = -1;
+  int radius = (gmax + match_sc - 1) / match_sc;
+  for (auto& cb : col_bests) {
+    if ((cb.second < te - radius || cb.second > te + radius)
+        && cb.first > score2) {
+      score2 = cb.first;
+      te2 = cb.second;
+    }
+  }
+  out[0] = gmax; out[1] = te; out[2] = qe; out[3] = score2; out[4] = te2;
+  return true;
+}
+#endif  // __SSE2__
+
 // ksw local SW, one direction: fills [score, te, qe, score2, te2].
 static void local_core(const uint8_t* query, int qlen, const uint8_t* target,
                        int tlen, int o_del, int e_del, int o_ins, int e_ins,
                        int minsc, int endsc, int match_sc, int mismatch_sc,
                        int n_sc, int32_t* out) {
+#ifdef __SSE2__
+  if (local_core_sse(query, qlen, target, tlen, o_del, e_del, o_ins, e_ins,
+                     minsc, endsc, match_sc, mismatch_sc, n_sc, out))
+    return;
+#endif
   int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
   std::vector<int32_t> H_prev(qlen, 0), E(qlen, 0), H(qlen, 0);
   int32_t gmax = 0, te = -1;
