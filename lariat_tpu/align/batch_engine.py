@@ -563,10 +563,13 @@ class BatchAlignmentEngine(AlignmentEngine):
                         mismatch_sc=-opt.mismatch_penalty)
                     zs = np.asarray(res.z)
                     scores = np.asarray(res.score)
+                    cigars = sw_global_pallas.traceback_unpacked_batch(
+                        zs, [len(g.q) for g in run_idx],
+                        [len(g.rseq) for g in run_idx],
+                        [int(g.w2) for g in run_idx])
                     for i, g in enumerate(run_idx):
                         g.score = int(scores[i])
-                        g.cigar = sw_global_pallas.traceback_unpacked(
-                            zs[i], len(g.q), len(g.rseq), int(g.w2))
+                        g.cigar = cigars[i]
                 else:
                     n_col = min(Lq, 2 * (opt.band_width << 2) + 1)
                     res = sw_global_batch.global_batch(
@@ -576,10 +579,13 @@ class BatchAlignmentEngine(AlignmentEngine):
                     zs = np.asarray(res.z)
                     begs = np.asarray(res.beg)
                     scores = np.asarray(res.score)
+                    cigars = sw_global_batch.traceback_batch(
+                        zs, begs, [len(g.q) for g in run_idx],
+                        [len(g.rseq) for g in run_idx],
+                        [int(g.w2) for g in run_idx])
                     for i, g in enumerate(run_idx):
                         g.score = int(scores[i])
-                        g.cigar = sw_global_batch.traceback(
-                            zs[i], begs[i], len(g.q), len(g.rseq), int(g.w2))
+                        g.cigar = cigars[i]
             # replay the ladder's break conditions
             for g in wave:
                 if (g.score == g.last_sc or g.w2 == opt.band_width << 2):

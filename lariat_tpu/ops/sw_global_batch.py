@@ -134,6 +134,46 @@ def global_batch(query: jnp.ndarray, qlen: jnp.ndarray,
     return GlobalBatchResult(score=score, z=final.z, beg=final.begs)
 
 
+def traceback_batch(zs: np.ndarray, begs: np.ndarray, qlens, tlens, ws
+                    ) -> List[List[Tuple[int, int]]]:
+    """CIGAR walks for a batch of band-packed (B, Lt, n_col) z buffers.
+
+    Native C++ walker when built (beg recomputed from w per row, matching
+    ``traceback``); Python fallback otherwise.
+    """
+    B = len(qlens)
+    from ..index.suffix import _load_native
+    lib = _load_native()
+    if lib is not None and hasattr(lib, "ksw_traceback_packed_batch"):
+        import ctypes
+        z = np.ascontiguousarray(zs[:B], dtype=np.uint8)
+        qv = np.asarray(qlens, dtype=np.int32)
+        tv = np.asarray(tlens, dtype=np.int32)
+        wv = np.asarray(ws, dtype=np.int32)
+        cap = int(qv.max() + tv.max() + 2) if B else 1
+        cig = np.empty((B, 2 * cap), dtype=np.int32)
+        nops = np.empty(B, dtype=np.int32)
+        i64 = ctypes.c_int64
+        lib.ksw_traceback_packed_batch(
+            ctypes.c_void_p(z.ctypes.data), i64(B), i64(z.shape[1]),
+            i64(z.shape[2]), ctypes.c_void_p(qv.ctypes.data),
+            ctypes.c_void_p(tv.ctypes.data), ctypes.c_void_p(wv.ctypes.data),
+            ctypes.c_void_p(cig.ctypes.data), i64(cap),
+            ctypes.c_void_p(nops.ctypes.data))
+        out = []
+        for b in range(B):
+            n = int(nops[b])
+            if n < 0:
+                out.append(traceback(zs[b], begs[b], int(qv[b]), int(tv[b]),
+                                     int(wv[b])))
+                continue
+            flat = cig[b, :2 * n].tolist()
+            out.append(list(zip(flat[0::2], flat[1::2])))
+        return out
+    return [traceback(zs[b], begs[b], int(qlens[b]), int(tlens[b]),
+                      int(ws[b])) for b in range(B)]
+
+
 def traceback(z: np.ndarray, begs: np.ndarray, qlen: int, tlen: int,
               w: int) -> List[Tuple[int, int]]:
     """Host CIGAR walk over one task's direction bytes (ksw_global2 backtrack).

@@ -1,0 +1,43 @@
+"""Batched C++ traceback walkers vs per-task Python walks."""
+
+import numpy as np
+
+def test_traceback_batch_parity():
+    from lariat_tpu.align import ksw
+    from lariat_tpu.ops import sw_global_batch
+    MAT = ksw.fill_score_matrix(1, 4)
+    rng = np.random.default_rng(5)
+    tasks = []
+    for _ in range(40):
+        qlen = int(rng.integers(5, 110))
+        ref = rng.integers(0, 4, 200)
+        q = ref[:qlen].copy()
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, qlen)); q[p] = (q[p] + rng.integers(1, 4)) % 4
+        t = ref[:qlen + int(rng.integers(-4, 5))].copy()
+        if len(t) < 1: t = ref[:1].copy()
+        w = max(int(rng.choice([10, 25, 100])), abs(len(q) - len(t)))
+        tasks.append((q, t, w))
+    B = len(tasks)
+    Lq = max(len(q) for q, _, _ in tasks); Lt = max(len(t) for _, t, _ in tasks)
+    n_col = max(min(len(q), 2 * w + 1) for q, _, w in tasks)
+    qa = np.zeros((B, Lq), np.int32); ta = np.zeros((B, Lt), np.int32)
+    qlen = np.zeros(B, np.int32); tlen = np.zeros(B, np.int32); wv = np.zeros(B, np.int32)
+    for i, (q, t, w) in enumerate(tasks):
+        qa[i, :len(q)] = q; ta[i, :len(t)] = t
+        qlen[i], tlen[i], wv[i] = len(q), len(t), w
+    res = sw_global_batch.global_batch(qa, qlen, ta, tlen, np.asarray(MAT), wv, n_col)
+    z = np.asarray(res.z); begs = np.asarray(res.beg)
+    got = sw_global_batch.traceback_batch(z, begs, qlen, tlen, wv)
+    for i, (q, t, w) in enumerate(tasks):
+        want = sw_global_batch.traceback(z[i], begs[i], len(q), len(t), w)
+        assert got[i] == want, (i, got[i], want)
+    # pallas interpret path
+    from lariat_tpu.ops import sw_global_pallas
+    res2 = sw_global_pallas.global_batch_pallas(qa, qlen, ta, tlen, np.asarray(MAT),
+                                                wv, interpret=True)
+    z2 = np.asarray(res2.z)
+    got2 = sw_global_pallas.traceback_unpacked_batch(z2, qlen, tlen, wv)
+    for i, (q, t, w) in enumerate(tasks):
+        want2 = sw_global_pallas.traceback_unpacked(z2[i], len(q), len(t), w)
+        assert got2[i] == want2, i
