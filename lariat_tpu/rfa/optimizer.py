@@ -125,6 +125,15 @@ class RFAOptimizer:
         self.log_unpaired_probability = log_unpaired_probability
         self.barcode = barcode
         self.current_source = 0
+        # read_id -> molecule indices whose best_alignment_for_read contain
+        # it. A sink sharing no reads with the source always scores with
+        # num_moved == 0 and is discarded by generate_move, so restricting
+        # the sweep to index-hit sinks is exact (best_alignment_for_read is
+        # immutable during optimization; only active sets mutate).
+        self._read_to_mols = {}
+        for mi, mol in enumerate(molecules):
+            for read_id in mol.best_alignment_for_read.keys():
+                self._read_to_mols.setdefault(read_id, []).append(mi)
 
     def generate_move(self) -> None:
         mols = self.molecules
@@ -132,10 +141,14 @@ class RFAOptimizer:
         if len(source.active_alignments) == 0:
             self.current_source = (self.current_source + 1) % len(mols)
             return
+        cand = set()
+        for read_id in source.active_alignments.keys():
+            cand.update(self._read_to_mols.get(read_id, ()))
         best_move = Move(score_change=-float("inf"))
-        for i, sink in enumerate(mols):
+        for i in sorted(cand):
             if i == self.current_source:
                 continue
+            sink = mols[i]
             score, move = fast_score(source, sink,
                                      self.log_unpaired_probability)
             if ((score > best_move.score_change

@@ -166,3 +166,69 @@ def test_rfa_recovers_mapq_in_duplication(tmp_path):
     # with the cloud: confidently placed
     assert all(q >= 20 for q in rfa_mapqs), rfa_mapqs
     assert len(rfa_mapqs) >= 8
+
+
+def test_optimizer_indexed_sweep_equals_full_sweep(dup_genome):
+    """The read->molecule sink index must not change any optimizer decision
+    vs scanning every molecule (sinks without shared reads always lose)."""
+    from lariat_tpu.align.engine import AlignmentEngine
+    from lariat_tpu.config import RFAConfig
+    from lariat_tpu.rfa import optimizer as opt_mod
+    from lariat_tpu.rfa.candidates import (get_alignments, get_chains,
+                                           tag_best_alignments)
+    from lariat_tpu.rfa.molecules import (
+        infer_molecules, mark_best_alignment_for_read_in_molecule,
+        scrap_molecules, set_molecule_differences)
+
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    cfg = RFAConfig()
+    rng = np.random.default_rng(23)
+
+    def build():
+        reads = []
+        # two read clouds over the duplicated region -> ambiguous molecules
+        for m, start in enumerate((1800, 41800, 60000)):
+            for i in range(8):
+                pos = start + int(rng.integers(0, 900))
+                reads.append(_make_pair(genome, pos, 300, f"t:{m}:{i}"))
+        rng.shuffle(reads)
+        chains, barcode = get_chains(engine, reads, cfg.chain_score_delta)
+        alignments, _ = get_alignments(engine, chains,
+                                       cfg.alignment_score_delta,
+                                       cfg.improper_pair_penalty)
+        positions = tag_best_alignments(alignments, -17)
+        molecules = infer_molecules(positions)
+        mark_best_alignment_for_read_in_molecule(
+            molecules, cfg.improper_pair_penalty)
+        molecules = scrap_molecules(molecules)
+        set_molecule_differences(molecules, False)
+        return molecules, alignments, barcode
+
+    def snapshot(molecules):
+        return [(sorted(m.active_alignments.keys()),
+                 [id(a) for a in m.active_alignments.values()])
+                for m in molecules]
+
+    rng = np.random.default_rng(23)
+    mols_a, alns_a, bc = build()
+    opt_a = opt_mod.RFAOptimizer(mols_a, alns_a,
+                                 cfg.improper_pair_penalty, bc)
+    opt_a.optimize()
+
+    rng = np.random.default_rng(23)
+    mols_b, alns_b, bc = build()
+    opt_b = opt_mod.RFAOptimizer(mols_b, alns_b,
+                                 cfg.improper_pair_penalty, bc)
+    # full sweep: every molecule is a candidate sink for every read
+    all_idx = list(range(len(mols_b)))
+    opt_b._read_to_mols = {rid: all_idx
+                           for rid in range(2 * len(alns_b) + 2)}
+    opt_b.optimize()
+
+    a = [sorted(m.active_alignments.keys()) for m in mols_a]
+    b = [sorted(m.active_alignments.keys()) for m in mols_b]
+    assert a == b
+    act_a = [[aln.active for aln in lst] for lst in alns_a]
+    act_b = [[aln.active for aln in lst] for lst in alns_b]
+    assert act_a == act_b
