@@ -555,16 +555,18 @@ class BatchAlignmentEngine(AlignmentEngine):
                     wv[i] = g.w2
                 if self.use_pallas:
                     from ..ops import sw_global_pallas
-                    res = sw_global_pallas.global_batch_pallas(
+                    res = sw_global_pallas.global_batch_pallas_packed(
                         qa, qlen, ta, tlen, np.asarray(self.mat), wv,
                         o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                         o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
                         match_sc=opt.match_score,
                         mismatch_sc=-opt.mismatch_penalty)
+                    # band-packed on device: ~Lq/n_col smaller download
                     zs = np.asarray(res.z)
+                    begs = np.asarray(res.beg)
                     scores = np.asarray(res.score)
-                    cigars = sw_global_pallas.traceback_unpacked_batch(
-                        zs, [len(g.q) for g in run_idx],
+                    cigars = sw_global_batch.traceback_batch(
+                        zs, begs, [len(g.q) for g in run_idx],
                         [len(g.rseq) for g in run_idx],
                         [int(g.w2) for g in run_idx])
                     for i, g in enumerate(run_idx):

@@ -31,6 +31,12 @@ class GlobalPallasResult(NamedTuple):
     z: jnp.ndarray       # (B, Lt, Lq) uint8 direction bytes (unpacked)
 
 
+class GlobalPallasPacked(NamedTuple):
+    score: jnp.ndarray   # (B,) int32
+    z: jnp.ndarray       # (B, Lt, n_col) uint8, row i at cols [0, end-beg)
+    beg: jnp.ndarray     # (B, Lt) int32 band start per row
+
+
 def _global_kernel(q_ref, t_ref, params_ref, score_ref, z_ref,
                    ehh_ref, ehe_ref,
                    *, Lt: int, o_del: int, e_del: int, o_ins: int,
@@ -174,6 +180,37 @@ def global_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
     # (n_chunks, Lt, Lq, tile) -> (B, Lt, Lq)
     z = jnp.concatenate([zz.transpose(2, 0, 1) for zz in zs], axis=0)[:B]
     return GlobalPallasResult(score=score, z=z)
+
+
+@functools.partial(jax.jit, static_argnames=("n_col",))
+def _pack_band(z: jnp.ndarray, w: jnp.ndarray, n_col: int):
+    """Gather band columns [beg_i, beg_i + n_col) of each row on device.
+
+    Shrinks the device->host transfer by ~Lq/n_col (the traceback only ever
+    reads in-band bytes; out-of-band bytes are zero anyway).
+    """
+    B, Lt, Lq = z.shape
+    iidx = jnp.arange(Lt, dtype=jnp.int32)[None, :, None]
+    beg = jnp.maximum(iidx - w[:, None, None].astype(jnp.int32), 0)
+    cidx = beg + jnp.arange(n_col, dtype=jnp.int32)[None, None, :]
+    packed = jnp.take_along_axis(z, jnp.minimum(cidx, Lq - 1), axis=2)
+    packed = jnp.where(cidx <= Lq - 1, packed, jnp.uint8(0))
+    return packed, beg[:, :, 0]
+
+
+def global_batch_pallas_packed(query, qlen, target, tlen, mat, w, **kw
+                               ) -> GlobalPallasPacked:
+    """global_batch_pallas + on-device band packing (small host download).
+
+    Walk the result with ``sw_global_batch.traceback_batch`` (packed layout).
+    """
+    res = global_batch_pallas(query, qlen, target, tlen, mat, w, **kw)
+    Lq = query.shape[1]
+    # round up to a 64 multiple so the jitted pack op doesn't retrace per
+    # distinct band width (extra columns are never read by the walker)
+    n_col = int(min(Lq, -(-(2 * int(np.max(np.asarray(w))) + 1) // 64) * 64))
+    zp, beg = _pack_band(res.z, jnp.asarray(w), n_col)
+    return GlobalPallasPacked(score=res.score, z=zp, beg=beg)
 
 
 def traceback_unpacked_batch(zs: np.ndarray, qlens, tlens, ws

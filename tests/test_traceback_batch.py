@@ -41,3 +41,31 @@ def test_traceback_batch_parity():
     for i, (q, t, w) in enumerate(tasks):
         want2 = sw_global_pallas.traceback_unpacked(z2[i], len(q), len(t), w)
         assert got2[i] == want2, i
+
+
+def test_pallas_packed_band_matches_unpacked():
+    """Device band packing + packed walker == unpacked walker (interpret)."""
+    from lariat_tpu.align import ksw
+    from lariat_tpu.ops import sw_global_batch, sw_global_pallas
+    MAT = ksw.fill_score_matrix(1, 4)
+    rng = np.random.default_rng(9)
+    B, Lq, Lt = 8, 96, 96
+    qa = rng.integers(0, 4, (B, Lq)).astype(np.int32)
+    ta = qa.copy()
+    for b in range(B):
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, Lq))
+            ta[b, p] = (ta[b, p] + 1) % 4
+    qlen = np.full(B, Lq, np.int32)
+    tlen = np.full(B, Lt, np.int32)
+    wv = rng.integers(8, 30, B).astype(np.int32)
+    res_u = sw_global_pallas.global_batch_pallas(
+        qa, qlen, ta, tlen, np.asarray(MAT), wv, interpret=True, tile_b=8)
+    res_p = sw_global_pallas.global_batch_pallas_packed(
+        qa, qlen, ta, tlen, np.asarray(MAT), wv, interpret=True, tile_b=8)
+    assert np.array_equal(np.asarray(res_u.score), np.asarray(res_p.score))
+    want = sw_global_pallas.traceback_unpacked_batch(
+        np.asarray(res_u.z), qlen, tlen, wv)
+    got = sw_global_batch.traceback_batch(
+        np.asarray(res_p.z), np.asarray(res_p.beg), qlen, tlen, wv)
+    assert got == want
