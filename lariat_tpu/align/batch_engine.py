@@ -561,14 +561,15 @@ class BatchAlignmentEngine(AlignmentEngine):
                         o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
                         match_sc=opt.match_score,
                         mismatch_sc=-opt.mismatch_penalty)
-                    # band-packed on device: ~Lq/n_col smaller download
-                    zs = np.asarray(res.z)
-                    begs = np.asarray(res.beg)
+                    # walk the traceback ON DEVICE: only the op stream
+                    # (B, Lt+Lq bytes) is downloaded, never the z matrices
+                    ops_buf, i_fin, k_fin = (
+                        sw_global_pallas.traceback_ops_device(
+                            res.z, qlen, tlen, wv, S=Lq + Lt))
                     scores = np.asarray(res.score)
-                    cigars = sw_global_batch.traceback_batch(
-                        zs, begs, [len(g.q) for g in run_idx],
-                        [len(g.rseq) for g in run_idx],
-                        [int(g.w2) for g in run_idx])
+                    cigars = sw_global_pallas.cigars_from_ops(
+                        np.asarray(ops_buf), np.asarray(i_fin),
+                        np.asarray(k_fin))
                     for i, g in enumerate(run_idx):
                         g.score = int(scores[i])
                         g.cigar = cigars[i]

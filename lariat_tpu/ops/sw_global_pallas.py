@@ -213,6 +213,105 @@ def global_batch_pallas_packed(query, qlen, target, tlen, mat, w, **kw
     return GlobalPallasPacked(score=res.score, z=zp, beg=beg)
 
 
+@functools.partial(jax.jit, static_argnames=("S",))
+def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
+                         tlen: jnp.ndarray, w: jnp.ndarray, S: int):
+    """Walk the band-packed direction bytes ON DEVICE for a whole batch.
+
+    The walk is the exact ksw_global2 backtrack (same bit reads as the host
+    walkers), vectorized over tasks with masked lanes; only the per-step op
+    stream (B, S) uint8 and the final (i, k) cursors come back to the host —
+    ~Lq/2 bytes per task instead of the full z matrix. Ops are emitted in
+    walk (reverse-alignment) order; 255 marks end-of-walk. S must be >=
+    Lt + Lq (a step consumes at least one of i/k).
+    """
+    B, Lt, n_col = zp.shape
+    zflat = zp.reshape(B, Lt * n_col).astype(jnp.int32)
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    w = w.astype(jnp.int32)
+    i0 = tlen - 1
+    k0 = jnp.minimum(i0 + w + 1, qlen) - 1
+
+    def step(s, carry):
+        i, k, which, buf = carry
+        active = (i >= 0) & (k >= 0)
+        beg = jnp.maximum(i - w, 0)
+        col = jnp.clip(k - beg, 0, n_col - 1)
+        row = jnp.clip(i, 0, Lt - 1)
+        d = jnp.take_along_axis(zflat, (row * n_col + col)[:, None],
+                                axis=1)[:, 0]
+        which_new = (d >> (which << 1)) & 3
+        op = jnp.where(which_new == 0, 0, jnp.where(which_new == 1, 2, 1))
+        di = jnp.where(which_new == 2, 0, 1)   # I consumes no target row
+        dk = jnp.where(which_new == 1, 0, 1)   # D consumes no query col
+        buf = buf.at[:, s].set(
+            jnp.where(active, op, 255).astype(jnp.uint8))
+        i = jnp.where(active, i - di, i)
+        k = jnp.where(active, k - dk, k)
+        which = jnp.where(active, which_new, which)
+        return (i, k, which, buf)
+
+    buf0 = jnp.full((B, S), 255, jnp.uint8)
+    i, k, which, buf = jax.lax.fori_loop(
+        0, S, step, (i0, k0, jnp.zeros_like(i0), buf0))
+    return buf, i, k
+
+
+def cigars_from_ops(ops: np.ndarray, i_fin: np.ndarray, k_fin: np.ndarray
+                    ) -> List[List[Tuple[int, int]]]:
+    """Host finish of the device walk: RLE-merge ops + tails, reversed.
+
+    Identical output to the z-matrix walkers; uses the native C++ helper
+    when built.
+    """
+    B, S = ops.shape
+    from ..index.suffix import _load_native
+    lib = _load_native()
+    if lib is not None and hasattr(lib, "ksw_cigar_from_ops_batch"):
+        import ctypes
+        o = np.ascontiguousarray(ops, dtype=np.uint8)
+        iv = np.asarray(i_fin, dtype=np.int32)
+        kv = np.asarray(k_fin, dtype=np.int32)
+        cap = S + 2
+        cig = np.empty((B, 2 * cap), dtype=np.int32)
+        nops = np.empty(B, dtype=np.int32)
+        i64 = ctypes.c_int64
+        lib.ksw_cigar_from_ops_batch(
+            ctypes.c_void_p(o.ctypes.data), i64(B), i64(S),
+            ctypes.c_void_p(iv.ctypes.data), ctypes.c_void_p(kv.ctypes.data),
+            ctypes.c_void_p(cig.ctypes.data), i64(cap),
+            ctypes.c_void_p(nops.ctypes.data))
+        out = []
+        for b in range(B):
+            n = int(nops[b])
+            flat = cig[b, :2 * n].tolist()
+            out.append(list(zip(flat[0::2], flat[1::2])))
+        return out
+    out = []
+    for b in range(B):
+        cigar: List[Tuple[int, int]] = []
+
+        def push(op, ln):
+            if cigar and cigar[-1][0] == op:
+                cigar[-1] = (op, cigar[-1][1] + ln)
+            else:
+                cigar.append((op, ln))
+
+        for s in range(S):
+            v = int(ops[b, s])
+            if v == 255:
+                break
+            push(v, 1)
+        if int(i_fin[b]) >= 0:
+            push(2, int(i_fin[b]) + 1)
+        if int(k_fin[b]) >= 0:
+            push(1, int(k_fin[b]) + 1)
+        cigar.reverse()
+        out.append([tuple(c) for c in cigar])
+    return out
+
+
 def traceback_unpacked_batch(zs: np.ndarray, qlens, tlens, ws
                              ) -> List[List[Tuple[int, int]]]:
     """CIGAR walks for a batch of unpacked (B, Lt, Lq) z buffers.

@@ -469,6 +469,37 @@ void ksw_traceback_unpacked_batch(const uint8_t* z, int64_t B,
   }
 }
 
+// Finish a device-side traceback walk: ops (B, S) uint8 in walk order
+// (255 = end), plus final i/k cursors for the off-matrix tails. RLE-merge,
+// append tails, reverse — identical to the z-matrix walkers' output.
+void ksw_cigar_from_ops_batch(const uint8_t* ops, int64_t B, int64_t S,
+                              const int32_t* i_fin, const int32_t* k_fin,
+                              int32_t* cigars, int64_t cap_pairs,
+                              int32_t* n_ops_out) {
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* ob = ops + b * S;
+    int32_t* out = cigars + b * 2 * cap_pairs;
+    int n = 0;
+    auto push = [&](int op, int ln) {
+      if (n && out[2 * (n - 1)] == op) {
+        out[2 * (n - 1) + 1] += ln;
+      } else if (n < cap_pairs) {
+        out[2 * n] = op;
+        out[2 * n + 1] = ln;
+        ++n;
+      }
+    };
+    for (int64_t s = 0; s < S && ob[s] != 255; ++s) push(ob[s], 1);
+    if (i_fin[b] >= 0) push(2, i_fin[b] + 1);
+    if (k_fin[b] >= 0) push(1, k_fin[b] + 1);
+    for (int a = 0, c = n - 1; a < c; ++a, --c) {
+      std::swap(out[2 * a], out[2 * c]);
+      std::swap(out[2 * a + 1], out[2 * c + 1]);
+    }
+    n_ops_out[b] = n;
+  }
+}
+
 // Packed layout: z is (B, Lt_dim, n_col) with row i holding band columns
 // [beg_i, ...) at [i, k - beg_i] where beg_i = max(i - w, 0).
 void ksw_traceback_packed_batch(const uint8_t* z, int64_t B, int64_t Lt_dim,

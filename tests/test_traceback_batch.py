@@ -69,3 +69,40 @@ def test_pallas_packed_band_matches_unpacked():
     got = sw_global_batch.traceback_batch(
         np.asarray(res_p.z), np.asarray(res_p.beg), qlen, tlen, wv)
     assert got == want
+
+
+def test_device_traceback_matches_host_walk():
+    """traceback_ops_device + cigars_from_ops == packed host walker."""
+    from lariat_tpu.align import ksw
+    from lariat_tpu.ops import sw_global_batch, sw_global_pallas
+    MAT = ksw.fill_score_matrix(1, 4)
+    rng = np.random.default_rng(13)
+    B, Lq, Lt = 12, 80, 88
+    qa = rng.integers(0, 4, (B, Lq)).astype(np.int32)
+    ta = np.zeros((B, Lt), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    wv = np.zeros(B, np.int32)
+    for b in range(B):
+        ql = int(rng.integers(10, Lq))
+        tl = max(1, ql + int(rng.integers(-4, 5)))
+        ta[b, :tl] = np.resize(qa[b, :ql], tl)
+        for _ in range(int(rng.integers(0, 4))):
+            p = int(rng.integers(0, tl))
+            ta[b, p] = (ta[b, p] + 1) % 4
+        qlen[b], tlen[b] = ql, tl
+        wv[b] = max(int(rng.integers(5, 30)), abs(ql - tl))
+    # pad entry exercising the inactive lane path
+    qlen[-1] = 0
+    tlen[-1] = 0
+    wv[-1] = 1
+    res = sw_global_pallas.global_batch_pallas_packed(
+        qa, qlen, ta, tlen, np.asarray(MAT), wv, interpret=True, tile_b=8)
+    ops_buf, i_fin, k_fin = sw_global_pallas.traceback_ops_device(
+        res.z, qlen, tlen, wv, S=Lq + Lt)
+    got = sw_global_pallas.cigars_from_ops(
+        np.asarray(ops_buf), np.asarray(i_fin), np.asarray(k_fin))
+    want = sw_global_batch.traceback_batch(
+        np.asarray(res.z), np.asarray(res.beg), qlen, tlen, wv)
+    for b in range(B - 1):
+        assert got[b] == want[b], b
