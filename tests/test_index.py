@@ -106,3 +106,36 @@ def test_amb_randomization_lcg():
     assert vals == vals  # self-consistency
     rng2 = fmindex.Drand48(11)
     assert [rng2.lrand48() & 3 for _ in range(6)] == vals
+
+
+def test_index_save_load_roundtrip(tmp_path):
+    """FMIndex.save/.load must preserve every array and behavior."""
+    import numpy as np
+    from lariat_tpu.index import fmindex
+    rng = np.random.default_rng(11)
+    g = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 5000)]
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">c1\n")
+        s = g.tobytes().decode()
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    fm = fmindex.build_index(str(fa))
+    fm.save(str(fa))
+    fm2 = fmindex.FMIndex.load(str(fa))
+    assert fm2.l_pac == fm.l_pac and fm2.primary == fm.primary
+    assert fm2.sa_intv == fm.sa_intv
+    for attr in ("L2", "bwt_codes", "sa_samples", "pac"):
+        assert np.array_equal(getattr(fm2, attr), getattr(fm, attr)), attr
+    assert np.array_equal(fm2.occ_ckpt, fm.occ_ckpt)
+    assert [(c.name, c.offset, c.length) for c in fm2.contigs] == \
+           [(c.name, c.offset, c.length) for c in fm.contigs]
+    # behavior identical on a query
+    q = g[1200:1280].astype(np.uint8)
+    q4 = fmindex.NT4_TABLE[np.frombuffer(q.tobytes(), np.uint8)]
+    from lariat_tpu.align.engine import AlignmentEngine
+    r1 = AlignmentEngine(fm).align1(q4)
+    r2 = AlignmentEngine(fm2).align1(q4)
+    import dataclasses
+    assert [dataclasses.asdict(x) for x in r1] == \
+           [dataclasses.asdict(x) for x in r2]
