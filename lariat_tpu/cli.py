@@ -94,6 +94,10 @@ def load_reference(genome: str, index_prefix: str = ""):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.debugPrintMove:
+        # set before workers fork so every process inherits the switch
+        from .rfa import debug as rfa_debug
+        rfa_debug.PRINT_MOVE = True
     print(f"Starting lariat_tpu. Version: {__version__}")
     print(f"Loading reference genome: {args.genome}")
     fm = load_reference(args.genome, args.index)

@@ -294,8 +294,34 @@ def build_aux_tags(aln: Alignment, primary: Alignment, attach_bx: bool,
             aux += aux_string(b"SA", sa.encode())
 
         if debug_tags and aln.mapq_data is not None:
+            # bamwriter.go:498-557 tag set and order (XM/XC/AC deliberately
+            # repeat the non-debug tag names, matching the reference)
             d = aln.mapq_data
+
+            def fmt_ops(a):
+                return (f"Match:{a.matches}:Mismatches:{a.mismatches}"
+                        f":Indels:{a.indels}"
+                        f":soft_clipped:{a.soft_clipped}").encode()
+
             mate = primary.mate_alignment
+            if d.second_best is not None:
+                sb = d.second_best
+                if sb.mate_alignment is not None:
+                    aux += aux_string(
+                        b"XM",
+                        f"{sb.mate_alignment.log_alignment_probability:.6f}"
+                        .encode())
+                    aux += aux_string(b"XZ", fmt_ops(sb.mate_alignment))
+                aux += aux_string(b"XX", fmt_ops(sb))
+                aux += aux_string(
+                    b"XL", f"{sb.log_alignment_probability:.6f}".encode())
+                aux += aux_string(
+                    b"XP", str(d.second_best_proper_pair).lower().encode())
+                aux += aux_string(
+                    b"XR", str(d.second_best_molecule_reads).encode())
+                aux += aux_string(
+                    b"XC",
+                    f"{d.second_best_molecule_confidence:.6f}".encode())
             aux += aux_string(b"AA", d.active_alignments_in_molecules.encode())
             aux += aux_string(b"CP", str(d.copies).encode())
             aux += aux_string(b"CM", str(d.copies_in_active_molecules).encode())
@@ -311,6 +337,9 @@ def build_aux_tags(aln: Alignment, primary: Alignment, attach_bx: bool,
                 aux += aux_string(b"PS", str(mate.score).encode())
                 aux += aux_string(
                     b"PL", f"{mate.log_alignment_probability:.6f}".encode())
+            aux += aux_string(b"AC", fmt_ops(aln))
+            if mate is not None:
+                aux += aux_string(b"PC", fmt_ops(mate))
 
         barcode_parts = fq.barcode10x.split(b"-")
         if len(barcode_parts) > 1 and attach_bx:

@@ -127,6 +127,9 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
     read_copies_in_active: Dict[int, int] = {}
     read_copies_not_in_active: Dict[int, int] = {}
     unique_molecules_active: Dict[int, Dict[int, bool]] = {}
+    from . import debug
+    if debug.PRINT_MOVE:
+        print("NOW TESTING MAPQS")
     if molecules:
         molecule_mapq_probability_sums(molecules, log_unpaired_probability)
     update_alignments_molecule_status(

@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional, Tuple
 
+from . import debug
 from .scoring import is_pair
 from .types import Alignment, CandidateMolecule
 
@@ -47,6 +48,12 @@ def fast_score(source: CandidateMolecule, sink: CandidateMolecule,
     to_delete: List[int] = []
     to_set: List[Alignment] = []
     source_mismatch_remove = {}
+    if debug.PRINT_MOVE:
+        print("test move ", source.id, " to ", sink.id, source.start,
+              sink.start, "current alignments", len(source.active_alignments),
+              len(sink.active_alignments))
+        print("  source mol mismatch locs ", dict(source.mismatch_locs))
+        print("  sink mol mismatch locs ", dict(sink.mismatch_locs))
     for source_aln in source.active_alignments.values():
         read_id = source_aln.read_id
         sink_aln = source_aln and sink.best_alignment_for_read.get(read_id)
@@ -64,6 +71,13 @@ def fast_score(source: CandidateMolecule, sink: CandidateMolecule,
             to_set.append(sink_aln)
         alignment_change += (sink_aln.log_alignment_probability
                              - source_aln.log_alignment_probability)
+        if debug.PRINT_MOVE:
+            print("\talignment ", source_aln.pos, " to ", sink_aln.pos,
+                  " change score ",
+                  sink_aln.updated_log_alignment_probability
+                  - source_aln.updated_log_alignment_probability)
+            print("\t\tsource mismatches ", list(source_aln.mismatch_locs))
+            print("\t\tsink mismatches ", list(sink_aln.mismatch_locs))
         # mismatch-locus bookkeeping sanity (score adjustments are disabled in
         # the reference too; only the invariant check remains)
         for loc in source_aln.mismatch_locs:
@@ -89,9 +103,16 @@ def fast_score(source: CandidateMolecule, sink: CandidateMolecule,
     if (len(source.active_alignments) - num == 0 and num > 0
             and source.id != sink.id):
         change -= -3.0
+        if debug.PRINT_MOVE:
+            print(">>>>>> adding 3")
     if len(sink.active_alignments) == 0 and num > 0 and source.id != sink.id:
         change += -3.0
+        if debug.PRINT_MOVE:
+            print(">>>>>> adding -3")
     change += alignment_change
+    if debug.PRINT_MOVE:
+        print("\t======= final alignment change ", alignment_change)
+        print("&&&&&&& final change ", change)
     return change, Move(score_change=change, alignment_change=alignment_change,
                        source=source, sink=sink, to_delete=to_delete,
                        to_set=to_set, num_moved=num)

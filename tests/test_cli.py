@@ -53,3 +53,60 @@ def test_cli_end_to_end(tmp_path):
     assert bx == sorted(bx)
     # index reused on second run
     assert os.path.exists(str(fasta) + ".lariat.npz")
+
+
+def test_cli_debug_flags(tmp_path, capfd):
+    """-debugBamTags emits the full debug tag set; -debugPrintMove prints."""
+    rng = np.random.default_rng(21)
+    genome = bytearray(BASES[rng.integers(0, 4, 40000)].tobytes())
+    genome[22000:23000] = genome[2000:3000]  # duplication -> second-best hits
+    genome = bytes(genome)
+    fasta = tmp_path / "g.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        s = genome.decode()
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    fq = tmp_path / "reads.fastq.gz"
+    import gzip
+    with gzip.open(fq, "wt") as f:
+        qual = "I" * 100
+        bc = "AAACAGAGAAAGAT-1"
+        for i in range(8):
+            pos = 1900 + i * 150
+            r1 = genome[pos:pos + 100].decode()
+            r2 = genome[pos + 200:pos + 300].translate(COMP)[::-1].decode()
+            f.write(f"@d:r{i} rg\n{r1}\n{qual}\n{r2}\n{qual}\n"
+                    f"{bc},{bc.split('-')[0]}\nJJJJJJJJJJJJJJ\n"
+                    f"ACGTACGT\nIIIIIIII\n")
+    out = tmp_path / "out"
+    rc = cli.main(["-reads", str(fq), "-genome", str(fasta),
+                   "-output", str(out), "-debugBamTags", "-debugPrintMove",
+                   "-threads", "1", "-first_chunk"])
+    from lariat_tpu.rfa import debug as rfa_debug
+    rfa_debug.PRINT_MOVE = False  # reset for other tests
+    assert rc == 0
+    captured = capfd.readouterr()
+    assert "NOW TESTING MAPQS" in captured.out
+    raw = open(out / "bc_sorted_bam.bam", "rb").read()
+    import zlib
+    # decompress all BGZF blocks and look for the debug tags
+    data = b""
+    off = 0
+    while off < len(raw):
+        xlen = int.from_bytes(raw[off + 10:off + 12], "little")
+        bsize = None
+        x = raw[off + 12:off + 12 + xlen]
+        i = 0
+        while i < len(x):
+            if x[i:i + 2] == b"BC":
+                bsize = int.from_bytes(x[i + 4:i + 6], "little") + 1
+            i += 4 + int.from_bytes(x[i + 2:i + 4], "little")
+        data += zlib.decompress(raw[off + 12 + xlen:off + bsize - 8],
+                                -15)
+        off += bsize
+    for tag in (b"AAZ", b"CPZ", b"CMZ", b"CUZ", b"CSZ", b"RDZ", b"MSZ",
+                b"MCZ", b"PPZ", b"PSZ", b"PLZ", b"ACZ", b"PCZ"):
+        assert tag in data, tag
+    # duplicated region should yield second-best debug tags on some read
+    assert b"XLZ" in data and b"XPZ" in data and b"XRZ" in data
