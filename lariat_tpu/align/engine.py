@@ -81,6 +81,13 @@ class AlignmentEngine:
         """mem_align1_core: all candidate regions for one read."""
         if len(q) == 0:
             return []
+        if mems is not None and rbegs is not None:
+            # full C++ path (chain/filter/extend/dedup in one FFI call)
+            from . import native_engine
+            nat = native_engine.align1_batch(self.fm, self.opt, [q],
+                                             [mems], [rbegs])
+            if nat is not None:
+                return nat[0]
         chains = chain_seeds(self.fm, q, self.opt, mems, rbegs)
         chains = filter_chains(self.opt, chains)
         # mem_flt_chained_seeds is a no-op for short reads: min_l =
@@ -166,16 +173,21 @@ class AlignmentEngine:
         return 1
 
     def align_pair(self, seq1: bytes, seq2: bytes, score_delta: int,
-                   mems: Optional[Tuple[list, list]] = None
+                   mems: Optional[Tuple[list, list]] = None,
+                   regs: Optional[Tuple[list, list]] = None
                    ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:
         """GoBwaMemMateSW (gobwa.go:226-337): align both reads + mate rescue.
 
         ``mems`` optionally supplies precomputed SMEM lists for both mates
         (see ``collect_mems_many`` — callers batch the native seeding call
-        across a whole barcode to amortize FFI overhead).
+        across a whole barcode to amortize FFI overhead). ``regs`` supplies
+        fully precomputed candidate regions (native mem_align1_batch),
+        skipping align1 entirely.
         """
         q1 = encode_read(seq1)
         q2 = encode_read(seq2)
+        if regs is not None:
+            return self.finish_pair(q1, q2, regs[0], regs[1], score_delta)
         rbegs1 = rbegs2 = None
         if mems is not None:
             mems1, mems2 = mems
@@ -199,29 +211,43 @@ class AlignmentEngine:
         regs2 = self.align1(q2, mems2, rbegs2) if len(q2) else []
         return self.finish_pair(q1, q2, regs1, regs2, score_delta)
 
-    def collect_mems_many(self, qs: List[np.ndarray], with_rbegs: bool = False
-                          ) -> Optional[list]:
+    def collect_mems_many(self, qs: List[np.ndarray], with_rbegs: bool = False,
+                          raw: bool = False) -> Optional[list]:
         """Native batched SMEM collection -> per-read Intv lists (or None).
 
         With ``with_rbegs``, also dereferences every seed occurrence's SA
         position in ONE batched native call and returns per-read
         ``(mems, rbegs)`` pairs (rbegs in ``enumerate_occurrences`` order).
+        With ``raw``, mems stay (n, 5) int64 arrays instead of Intv lists
+        (the native align1 path consumes them directly).
         """
         from ..index import native_ops
         from .seeding import Intv
         nat = native_ops.collect_seeds_batch(self.fm, qs, self.opt)
         if nat is None:
             return None
-        mems_lists = [[Intv(*row) for row in arr.tolist()] for arr in nat]
+        if raw:
+            mems_lists: list = nat
+        else:
+            mems_lists = [[Intv(*row) for row in arr.tolist()] for arr in nat]
         if not with_rbegs:
             return mems_lists
-        from .chaining import enumerate_occurrences
+        # occurrence schedule inlined from chaining.enumerate_occurrences
+        # (identical order; avoids requiring Intv objects)
         all_rows: list = []
         spans = []
-        for mems in mems_lists:
-            occs = enumerate_occurrences(mems, self.opt)
-            spans.append((len(all_rows), len(occs)))
-            all_rows.extend(row for _, row in occs)
+        max_occ = self.opt.max_occ
+        for arr in nat:
+            o0 = len(all_rows)
+            for x0, _x1, s, _qb, _qe in arr.tolist():
+                step = s // max_occ if s > max_occ else 1
+                k = 0
+                count = 0
+                while k < s and count < max_occ:
+                    all_rows.append(x0 + k)
+                    k += step
+                    count += 1
+            spans.append((o0, len(all_rows) - o0))
         if all_rows:
             rows = np.array(all_rows, dtype=np.int64)
             nb = native_ops.sa_lookup_batch(self.fm, rows)

@@ -1,0 +1,137 @@
+"""ctypes wrapper for the C++ mem_align1_core (native/align1.cpp).
+
+One FFI call runs chain -> filter -> extend -> dedup/patch for a whole batch
+of reads (typically every read of a barcode); the Python implementation in
+chaining.py/extension.py remains the executable reference and the two are
+asserted identical by tests. Set LARIAT_NO_NATIVE_ALIGN1=1 to force Python.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..index import suffix
+from .extension import AlnReg
+
+_tls = threading.local()
+_checked = False
+_ok = False
+
+
+def _lib():
+    global _checked, _ok
+    lib = suffix._load_native()
+    if not _checked:
+        _checked = True
+        _ok = (lib is not None and hasattr(lib, "mem_align1_batch")
+               and not os.environ.get("LARIAT_NO_NATIVE_ALIGN1"))
+        if _ok:
+            lib.mem_align1_batch.restype = ctypes.c_int64
+            lib.mem_align1_batch.argtypes = [ctypes.c_void_p] * 2 + [
+                ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 2 + [
+                ctypes.c_int64] + [ctypes.c_void_p] * 4 + [
+                ctypes.c_void_p] * 2 + [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p]
+    return lib if _ok else None
+
+
+def _genome_blobs(fm):
+    t = getattr(fm, "_align1_blobs", None)
+    if t is None:
+        pac = np.ascontiguousarray(fm.pac)
+        offs = np.array([c.offset for c in fm.contigs], dtype=np.int64)
+        fm._align1_blobs = t = (pac, offs)
+    return t
+
+
+def _opt_blobs(opt):
+    oi = np.array([
+        opt.match_score, -opt.mismatch_penalty, -1,
+        opt.gap_open_del, opt.gap_extend_del, opt.gap_open_ins,
+        opt.gap_extend_ins, opt.pen_clip5, opt.pen_clip3, opt.zdrop,
+        opt.band_width, opt.max_chain_gap, opt.max_occ, opt.min_seed_len,
+        opt.min_chain_weight, opt.max_chain_extend], dtype=np.int64)
+    od = np.array([opt.mask_level, opt.mask_level_redun, opt.drop_ratio],
+                  dtype=np.float64)
+    return oi, od
+
+
+def align1_batch(fm, opt, qs: Sequence[np.ndarray],
+                 mems_list: Sequence, rbegs_list: Sequence
+                 ) -> Optional[List[List[AlnReg]]]:
+    """Candidate regions for each read; None when the library is missing.
+
+    ``mems_list[i]`` is the read's SMEM rows ([x0,x1,s,qb,qe] tuples or an
+    (n, 5) array), ``rbegs_list[i]`` the SA positions in
+    enumerate_occurrences order.
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(qs)
+    if n == 0:
+        return []
+    pac, contig_offs = _genome_blobs(fm)
+    oi, od = _opt_blobs(opt)
+    lens = np.fromiter((len(q) for q in qs), np.int64, n)
+    r_off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=r_off[1:])
+    flat = (np.concatenate([np.ascontiguousarray(q, dtype=np.uint8)
+                            for q in qs])
+            if r_off[-1] else np.zeros(1, np.uint8))
+    m_counts = np.fromiter((len(m) for m in mems_list), np.int64, n)
+    m_off = np.zeros(n + 1, np.int64)
+    np.cumsum(m_counts, out=m_off[1:])
+    if m_off[-1]:
+        def _rows(m):
+            if isinstance(m, np.ndarray):
+                return m.reshape(-1, 5)
+            return np.array([(p.x0, p.x1, p.s, p.qb, p.qe) for p in m],
+                            dtype=np.int64).reshape(-1, 5)
+        mems_flat = np.ascontiguousarray(
+            np.concatenate([_rows(m) if len(m)
+                            else np.zeros((0, 5), np.int64)
+                            for m in mems_list]), dtype=np.int64)
+    else:
+        mems_flat = np.zeros((1, 5), np.int64)
+    b_counts = np.fromiter((len(b) for b in rbegs_list), np.int64, n)
+    b_off = np.zeros(n + 1, np.int64)
+    np.cumsum(b_counts, out=b_off[1:])
+    rbegs_flat = (np.ascontiguousarray(
+        np.concatenate([np.asarray(b, dtype=np.int64) for b in rbegs_list]))
+        if b_off[-1] else np.zeros(1, np.int64))
+    cap = int(b_off[-1]) + 8 * n + 8
+    counts = np.empty(n, np.int64)
+    offs = np.empty(n, np.int64)
+    while True:
+        out = np.empty((cap, 14), np.float64)
+        total = lib.mem_align1_batch(
+            pac.ctypes.data, fm.l_pac, contig_offs.ctypes.data,
+            len(contig_offs), flat.ctypes.data, r_off.ctypes.data, n,
+            mems_flat.ctypes.data, m_off.ctypes.data, rbegs_flat.ctypes.data,
+            b_off.ctypes.data, oi.ctypes.data, od.ctypes.data,
+            out.ctypes.data, cap, counts.ctypes.data, offs.ctypes.data)
+        if total >= 0:
+            break
+        cap *= 4
+    result: List[List[AlnReg]] = []
+    rows = out
+    for i in range(n):
+        o, c = int(offs[i]), int(counts[i])
+        lst = []
+        for k in range(o, o + c):
+            row = rows[k]
+            lst.append(AlnReg(
+                rb=int(row[0]), re=int(row[1]), qb=int(row[2]),
+                qe=int(row[3]), rid=int(row[4]), score=int(row[5]),
+                truesc=int(row[6]), sub=int(row[7]), csub=int(row[8]),
+                seedcov=int(row[9]), w=int(row[10]), seedlen0=int(row[11]),
+                n_comp=int(row[12]), frac_rep=float(row[13])))
+        result.append(lst)
+    return result

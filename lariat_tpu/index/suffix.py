@@ -27,7 +27,8 @@ def _load_native():
         if _lib is not None:
             return _lib
         srcs = [os.path.join(_NATIVE_DIR, f)
-                for f in ("sais.cpp", "bgzf.cpp", "seed.cpp", "ksw.cpp")]
+                for f in ("sais.cpp", "bgzf.cpp", "seed.cpp", "ksw.cpp",
+                          "align1.cpp")]
         if not os.path.exists(_LIB_PATH) or any(
                 os.path.exists(f)
                 and os.path.getmtime(_LIB_PATH) < os.path.getmtime(f)

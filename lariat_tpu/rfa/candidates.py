@@ -11,6 +11,8 @@ import dataclasses
 import hashlib
 from typing import List, Optional, Tuple
 
+import numpy as np
+
 from ..align.engine import AlignmentEngine, EasyAlignment, OP_M, OP_I, OP_D, OP_S
 from ..io.fastq import FastQRecord
 from ..utils.gorand import GoRand
@@ -70,6 +72,7 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
                 all_regs[2 * i + 1] if len(q2) else [], score_delta))
     # non-batched engines: one native seeding call for the whole barcode
     barcode_mems = None
+    barcode_regs = None
     if (pair_results is None and reads
             and hasattr(engine, "collect_mems_many")):
         from ..align.engine import encode_read
@@ -80,14 +83,31 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
                 if len(q):
                     qs.append(q)
                     where.append(2 * i + k)
-        mems_all = (engine.collect_mems_many(qs, with_rbegs=True)
+        mems_all = (engine.collect_mems_many(qs, with_rbegs=True, raw=True)
                     if qs else [])
         if mems_all is not None:
-            flat = [None] * (2 * len(reads))
-            for slot, m in zip(where, mems_all):
-                flat[slot] = m
-            barcode_mems = [(flat[2 * i], flat[2 * i + 1])
-                            for i in range(len(reads))]
+            # full C++ candidate generation for the whole barcode in one call
+            nat_regs = None
+            if qs:
+                from ..align import native_engine
+                nat_regs = native_engine.align1_batch(
+                    engine.fm, engine.opt, qs,
+                    [m for m, _ in mems_all], [b for _, b in mems_all])
+            if nat_regs is not None:
+                flat_r = [[] for _ in range(2 * len(reads))]
+                for slot, rg in zip(where, nat_regs):
+                    flat_r[slot] = rg
+                barcode_regs = [(flat_r[2 * i], flat_r[2 * i + 1])
+                                for i in range(len(reads))]
+            else:
+                from ..align.seeding import Intv
+                flat = [None] * (2 * len(reads))
+                for slot, (m, b) in zip(where, mems_all):
+                    if isinstance(m, np.ndarray):
+                        m = [Intv(*row) for row in m.tolist()]
+                    flat[slot] = (m, b)
+                barcode_mems = [(flat[2 * i], flat[2 * i + 1])
+                                for i in range(len(reads))]
     out: List[List[ChainedHit]] = []
     hit_num = 0
     barcode = ""
@@ -97,7 +117,8 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
         else:
             ea1, ea2 = engine.align_pair(
                 rec.read1, rec.read2, score_delta,
-                mems=None if barcode_mems is None else barcode_mems[i])
+                mems=None if barcode_mems is None else barcode_mems[i],
+                regs=None if barcode_regs is None else barcode_regs[i])
         barcode = rec.barcode10x.decode()
         lst1: List[ChainedHit] = []
         for ea in ea1:

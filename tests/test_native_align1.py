@@ -1,0 +1,55 @@
+"""C++ mem_align1_core (native/align1.cpp) vs the Python reference path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from lariat_tpu.align import native_engine
+from lariat_tpu.align.chaining import chain_seeds, filter_chains
+from lariat_tpu.align.engine import AlignmentEngine, encode_read
+from lariat_tpu.align.extension import chain2aln, sort_dedup_patch
+
+from test_rfa import dup_genome  # noqa: F401
+from test_soak import _messy_read
+
+pytestmark = pytest.mark.skipif(
+    native_engine._lib() is None, reason="native align1 unavailable")
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_native_align1_matches_python(dup_genome, seed):  # noqa: F811
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    rng = np.random.default_rng(seed * 131 + 3)
+    seqs = [_messy_read(genome, rng) for _ in range(30)]
+    qs = [encode_read(s) for s in seqs]
+    qs = [q for q in qs if len(q)]
+    mr = engine.collect_mems_many(qs, with_rbegs=True, raw=True)
+    assert mr is not None
+    got_all = native_engine.align1_batch(
+        fm, engine.opt, qs, [m for m, _ in mr], [b for _, b in mr])
+    assert got_all is not None
+    from lariat_tpu.align.seeding import Intv
+    for q, (marr, rbegs), got in zip(qs, mr, got_all):
+        mems = [Intv(*row) for row in marr.tolist()]
+        chains = chain_seeds(fm, q, engine.opt, mems, rbegs)
+        chains = filter_chains(engine.opt, chains)
+        regs = []
+        for c in chains:
+            chain2aln(fm, q, engine.opt, c, regs, engine.mat)
+        want = sort_dedup_patch(fm, q, engine.opt, regs, engine.mat)
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert dataclasses.asdict(a) == dataclasses.asdict(b)
+
+
+def test_native_align1_empty_inputs(dup_genome):  # noqa: F811
+    fm, _ = dup_genome
+    engine = AlignmentEngine(fm)
+    assert native_engine.align1_batch(fm, engine.opt, [], [], []) == []
+    # read with no seeds at all
+    q = np.full(30, 4, dtype=np.uint8)  # all N
+    out = native_engine.align1_batch(fm, engine.opt, [q],
+                                     [np.zeros((0, 5), np.int64)], [[]])
+    assert out == [[]]
