@@ -354,6 +354,17 @@ class AlignmentEngine:
                 n_gap += ln
         return cigar, score, n_mm + n_gap
 
+    def reg2aln_batch(self, tasks) -> List["SingleReadAlignment"]:
+        """mem_reg2aln for many (seq, reg) tasks; native C++ when built.
+
+        (BatchAlignmentEngine overrides this with the device-wave version.)
+        """
+        from . import native_engine
+        out = native_engine.reg2aln_batch(self.fm, self.opt, tasks)
+        if out is not None:
+            return out
+        return [self.reg2aln(seq, reg) for seq, reg in tasks]
+
     def reg2aln(self, seq: bytes, reg: Optional[AlnReg]) -> SingleReadAlignment:
         """mem_reg2aln: final banded global alignment -> CIGAR/NM/position."""
         opt, fm = self.opt, self.fm

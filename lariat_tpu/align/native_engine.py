@@ -31,13 +31,14 @@ def _lib():
         _ok = (lib is not None and hasattr(lib, "mem_align1_batch")
                and not os.environ.get("LARIAT_NO_NATIVE_ALIGN1"))
         if _ok:
-            lib.mem_align1_batch.restype = ctypes.c_int64
-            lib.mem_align1_batch.argtypes = [ctypes.c_void_p] * 2 + [
-                ctypes.c_void_p, ctypes.c_int64] + [ctypes.c_void_p] * 2 + [
-                ctypes.c_int64] + [ctypes.c_void_p] * 4 + [
-                ctypes.c_void_p] * 2 + [
-                ctypes.c_void_p, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_void_p]
+            p, i64 = ctypes.c_void_p, ctypes.c_int64
+            lib.mem_align1_batch.restype = i64
+            lib.mem_align1_batch.argtypes = [
+                p, i64, p, i64, p, p, i64, p, p, p, p, p, p, p, i64, p, p]
+            if hasattr(lib, "mem_reg2aln_batch"):
+                lib.mem_reg2aln_batch.restype = i64
+                lib.mem_reg2aln_batch.argtypes = [
+                    p, i64, p, i64, p, p, p, i64, p, p, p, p, i64]
     return lib if _ok else None
 
 
@@ -60,6 +61,72 @@ def _opt_blobs(opt):
     od = np.array([opt.mask_level, opt.mask_level_redun, opt.drop_ratio],
                   dtype=np.float64)
     return oi, od
+
+
+def reg2aln_batch(fm, opt, tasks) -> Optional[list]:
+    """mem_reg2aln for (seq_bytes, AlnReg) tasks in one native call.
+
+    Returns SingleReadAlignment list (None regs -> empty alignment), or
+    None when the library is missing.
+    """
+    lib = _lib()
+    if lib is None or not hasattr(lib, "mem_reg2aln_batch"):
+        return None
+    from .engine import SingleReadAlignment, encode_read
+    n = len(tasks)
+    out = [None] * n
+    reads = []
+    read_key = {}
+    rows = []
+    live = []
+    for idx, (seq, reg) in enumerate(tasks):
+        if reg is None or reg.rb < 0 or reg.re < 0:
+            out[idx] = SingleReadAlignment()
+            continue
+        k = read_key.get(id(seq))
+        if k is None:
+            k = len(reads)
+            read_key[id(seq)] = k
+            reads.append(encode_read(seq))
+        rows.append((k, reg.qb, reg.qe, reg.rb, reg.re, reg.truesc, reg.w))
+        live.append(idx)
+    if not rows:
+        return out
+    pac, contig_offs = _genome_blobs(fm)
+    oi, od = _opt_blobs(opt)
+    m = len(reads)
+    lens = np.fromiter((len(q) for q in reads), np.int64, m)
+    r_off = np.zeros(m + 1, np.int64)
+    np.cumsum(lens, out=r_off[1:])
+    flat = (np.concatenate(reads) if r_off[-1]
+            else np.zeros(1, np.uint8))
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    trows = np.ascontiguousarray(np.array(rows, dtype=np.int64))
+    meta = np.empty((len(rows), 6), np.int64)
+    cap = int(lens.sum()) * 2 + 16 * len(rows) + 16
+    while True:
+        cig = np.empty(2 * cap, np.int32)
+        total = lib.mem_reg2aln_batch(
+            pac.ctypes.data, fm.l_pac, contig_offs.ctypes.data,
+            len(contig_offs), flat.ctypes.data, r_off.ctypes.data,
+            trows.ctypes.data, len(rows), oi.ctypes.data, od.ctypes.data,
+            meta.ctypes.data, cig.ctypes.data, cap)
+        if total >= 0:
+            break
+        cap *= 4
+    contigs = fm.contigs
+    for (k, qb, qe, rb, re, truesc, w), (idx, mrow) in zip(
+            rows, zip(live, meta)):
+        pos, rid, is_rev, nm, n_pairs, coff = (int(v) for v in mrow)
+        flatc = cig[2 * coff:2 * (coff + n_pairs)].tolist()
+        cigar = tuple(zip(flatc[0::2], flatc[1::2]))
+        reg = tasks[idx][1]
+        out[idx] = SingleReadAlignment(
+            pos=pos - contigs[rid].offset, rid=rid, chrom=contigs[rid].name,
+            reversed_=bool(is_rev), edit_distance=nm, cigar=cigar,
+            score=reg.score, sub=max(reg.sub, reg.csub), read_s=reg.qb,
+            read_e=reg.qe)
+    return out
 
 
 def align1_batch(fm, opt, qs: Sequence[np.ndarray],

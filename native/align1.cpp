@@ -31,6 +31,12 @@ constexpr int MAX_BAND_TRY = 2;
 constexpr double PATCH_MAX_R_BW = 0.15;
 constexpr double PATCH_MIN_SC_RATIO = 0.90;
 
+inline int score_sub_pub(uint8_t q, uint8_t t, int match_sc, int mismatch_sc,
+                         int n_sc) {
+  if (q >= 4 || t >= 4) return n_sc;
+  return q == t ? match_sc : mismatch_sc;
+}
+
 struct Opt {
   int match, mismatch, n_sc;
   int o_del, e_del, o_ins, e_ins;
@@ -592,6 +598,158 @@ int64_t mem_align1_batch(
     counts[r] = (int64_t)regs.size();
   }
   return total;
+}
+
+// mem_reg2aln (final banded global -> CIGAR/NM/position) for a batch of
+// tasks. tasks rows are [read_idx, qb, qe, rb, re, truesc, w] int64; meta
+// out rows are [pos_global, rid, is_rev, NM, n_cigar, cigar_off]; cigar
+// (op, len) int32 pairs go to cigar_out. Returns total cigar pairs or -1
+// if cigar_cap exceeded.
+int64_t mem_reg2aln_batch(
+    const uint8_t* pac, int64_t l_pac, const int64_t* contig_offs,
+    int64_t n_contigs, const uint8_t* reads_flat,
+    const int64_t* read_offsets, const int64_t* tasks, int64_t n_tasks,
+    const int64_t* oi, const double* od, int64_t* meta_out,
+    int32_t* cigar_out, int64_t cigar_cap) {
+  (void)od;
+  Genome g{pac, l_pac, contig_offs, n_contigs};
+  int match = (int)oi[0], mismatch = (int)oi[1], n_sc = (int)oi[2];
+  int o_del = (int)oi[3], e_del = (int)oi[4];
+  int o_ins = (int)oi[5], e_ins = (int)oi[6];
+  int64_t band_width = oi[10];
+  int64_t seq_len = 2 * l_pac;
+
+  auto infer_bw = [&](int64_t l1, int64_t l2, int64_t score, int q_pen,
+                      int r_pen) -> int64_t {
+    if (l1 == l2 && l1 * match - score < (int64_t)(q_pen + r_pen - match) << 1)
+      return 0;
+    int64_t w = (int64_t)((double)(std::min(l1, l2) * match - score - q_pen)
+                          / r_pen + 2.0);
+    return std::max(w, (int64_t)std::llabs(l1 - l2));
+  };
+
+  std::vector<uint8_t> rseq, qbuf;
+  std::vector<int32_t> cig;
+  int64_t cig_total = 0;
+  for (int64_t t = 0; t < n_tasks; ++t) {
+    const int64_t* tk = tasks + t * 7;
+    int64_t ridx = tk[0], qb = tk[1], qe = tk[2], rb = tk[3], re = tk[4];
+    int64_t truesc = tk[5], reg_w = tk[6];
+    const uint8_t* read = reads_flat + read_offsets[ridx];
+    int64_t l_full = read_offsets[ridx + 1] - read_offsets[ridx];
+    int64_t l_query = qe - qb;
+    int64_t* m = meta_out + t * 6;
+
+    int64_t w2 = std::max(
+        infer_bw(l_query, re - rb, truesc, o_del, e_del),
+        infer_bw(l_query, re - rb, truesc, o_ins, e_ins));
+    if (w2 > band_width) w2 = std::min(w2, reg_w);
+
+    int64_t last_sc = -((int64_t)1 << 30);
+    int i = 0;
+    int64_t NM = -1;
+    bool have_cigar = false;
+    cig.clear();
+    while (true) {
+      w2 = std::min(w2, band_width << 2);
+      // _gen_cigar
+      int64_t score = 0;
+      NM = -1;
+      have_cigar = false;
+      cig.clear();
+      if (!(l_query <= 0 || rb >= re || (rb < l_pac && l_pac < re))) {
+        g.fetch(rb, re, rseq);
+        qbuf.assign(read + qb, read + qe);
+        if (rb >= l_pac) {
+          std::reverse(qbuf.begin(), qbuf.end());
+          std::reverse(rseq.begin(), rseq.end());
+        }
+        if (l_query == re - rb && w2 == 0) {
+          for (int64_t k = 0; k < l_query; ++k)
+            score += score_sub_pub(qbuf[k], rseq[k], match, mismatch, n_sc);
+          cig.push_back(0);
+          cig.push_back((int32_t)l_query);
+          have_cigar = true;
+        } else {
+          int32_t sc32 = 0;
+          cig.resize(2 * (size_t)(l_query + (int64_t)rseq.size() + 2));
+          int32_t n_ops = ksw_global_one(
+              qbuf.data(), (int)l_query, rseq.data(), (int)rseq.size(),
+              o_del, e_del, o_ins, e_ins, (int)w2, match, mismatch, n_sc,
+              &sc32, cig.data(), (int32_t)(cig.size() / 2));
+          score = sc32;
+          if (n_ops >= 0 && n_ops > 0) {
+            cig.resize(2 * (size_t)n_ops);
+            have_cigar = true;
+          } else {
+            cig.clear();
+          }
+        }
+        if (have_cigar) {
+          int64_t n_mm = 0, n_gap = 0, x = 0, y = 0;
+          int64_t n_ops = (int64_t)cig.size() / 2;
+          for (int64_t k = 0; k < n_ops; ++k) {
+            int op = cig[2 * k], ln = cig[2 * k + 1];
+            if (op == 0) {
+              for (int64_t u = 0; u < ln; ++u)
+                if (qbuf[x + u] != rseq[y + u]) ++n_mm;
+              x += ln;
+              y += ln;
+            } else if (op == 2) {
+              if (k > 0 && k < n_ops - 1) n_gap += ln;
+              y += ln;
+            } else if (op == 1) {
+              x += ln;
+              n_gap += ln;
+            }
+          }
+          NM = n_mm + n_gap;
+        }
+      }
+      if (score == last_sc || w2 == band_width << 2) break;
+      last_sc = score;
+      w2 <<= 1;
+      ++i;
+      if (!(i < 3 && score < truesc - match)) break;
+    }
+    // position + D squeeze + clips
+    int64_t dpos = rb < l_pac ? rb : re - 1;
+    bool is_rev = dpos >= l_pac;
+    int64_t pos = is_rev ? seq_len - 1 - dpos : dpos;
+    if (!cig.empty()) {
+      if (cig[0] == 2) {
+        pos += cig[1];
+        cig.erase(cig.begin(), cig.begin() + 2);
+      } else if (cig[cig.size() - 2] == 2) {
+        cig.resize(cig.size() - 2);
+      }
+    }
+    if (qb != 0 || qe != l_full) {
+      int64_t clip5 = is_rev ? l_full - qe : qb;
+      int64_t clip3 = is_rev ? qb : l_full - qe;
+      if (clip5 > 0) {
+        cig.insert(cig.begin(), (int32_t)clip5);
+        cig.insert(cig.begin(), 3);
+      }
+      if (clip3 > 0) {
+        cig.push_back(3);
+        cig.push_back((int32_t)clip3);
+      }
+    }
+    int rid = g.pos_to_contig(pos);
+    int64_t n_pairs = (int64_t)cig.size() / 2;
+    if (cig_total + n_pairs > cigar_cap) return -1;
+    for (size_t k = 0; k < cig.size(); ++k)
+      cigar_out[cig_total * 2 + k] = cig[k];
+    m[0] = pos;
+    m[1] = rid;
+    m[2] = is_rev ? 1 : 0;
+    m[3] = NM;
+    m[4] = n_pairs;
+    m[5] = cig_total;
+    cig_total += n_pairs;
+  }
+  return cig_total;
 }
 
 }  // extern "C"

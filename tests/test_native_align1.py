@@ -53,3 +53,24 @@ def test_native_align1_empty_inputs(dup_genome):  # noqa: F811
     out = native_engine.align1_batch(fm, engine.opt, [q],
                                      [np.zeros((0, 5), np.int64)], [[]])
     assert out == [[]]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_reg2aln_matches_python(dup_genome, seed):  # noqa: F811
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    rng = np.random.default_rng(seed * 53 + 9)
+    tasks = []
+    for _ in range(20):
+        seq = _messy_read(genome, rng)
+        q = encode_read(seq)
+        if not len(q):
+            continue
+        for reg in engine.align1(q):
+            tasks.append((seq, reg))
+    tasks.append((b"ACGT" * 20, None))
+    got = native_engine.reg2aln_batch(fm, engine.opt, tasks)
+    assert got is not None
+    for (seq, reg), g in zip(tasks, got):
+        want = engine.reg2aln(seq, reg)
+        assert dataclasses.asdict(g) == dataclasses.asdict(want), (seq, reg)
