@@ -16,6 +16,7 @@ consumes (``gobwa/gobwa.go``):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -30,9 +31,17 @@ from .extension import AlnReg, chain2aln, sort_dedup_patch
 OP_M, OP_I, OP_D, OP_S, OP_H = 0, 1, 2, 3, 4
 
 
+@functools.lru_cache(maxsize=8192)
 def encode_read(seq: bytes) -> np.ndarray:
-    """ASCII -> nt4 codes (A0 C1 G2 T3, other 4)."""
-    return NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].copy()
+    """ASCII -> nt4 codes (A0 C1 G2 T3, other 4).
+
+    Memoized (reads are encoded several times along the pipeline); the
+    returned array is marked read-only so accidental mutation of the shared
+    cache entry fails loudly.
+    """
+    arr = NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].copy()
+    arr.setflags(write=False)
+    return arr
 
 
 @dataclasses.dataclass
