@@ -102,6 +102,26 @@ def _get_powers() -> np.ndarray:
     return _A_POWERS
 
 
+def _chain_matrix(s: np.ndarray, su: np.ndarray) -> np.ndarray:
+    """(n, N_CHAIN) seeding chains; C++ helper when built (the constant
+    modulus 2^31-1 strength-reduces, unlike numpy's uint64 %)."""
+    try:
+        from ..index.suffix import _load_native
+        lib = _load_native()
+    except Exception:
+        lib = None
+    p = _get_powers()
+    if lib is not None and hasattr(lib, "gorand_chain_batch"):
+        import ctypes
+        out = np.empty((len(s), _N_CHAIN), dtype=np.uint64)
+        lib.gorand_chain_batch(
+            ctypes.c_void_p(s.ctypes.data), ctypes.c_int64(len(s)),
+            ctypes.c_void_p(p.ctypes.data), ctypes.c_int64(_N_CHAIN),
+            ctypes.c_void_p(out.ctypes.data))
+        return out
+    return (su[:, None] * p[None, :]) % np.uint64(INT32_MAX)
+
+
 class GoRand:
     """rand.New(rand.NewSource(seed)) value stream."""
 
@@ -113,7 +133,7 @@ class GoRand:
                         len(seeds))
         s[s == 0] = 89482311
         su = s.astype(np.uint64)
-        chain = (su[:, None] * _get_powers()[None, :]) % np.uint64(INT32_MAX)
+        chain = _chain_matrix(s, su)
         a = chain[:, 21:21 + 3 * RNG_LEN:3]
         b = chain[:, 22:22 + 3 * RNG_LEN:3]
         c = chain[:, 23:23 + 3 * RNG_LEN:3]

@@ -752,4 +752,19 @@ int64_t mem_reg2aln_batch(
   return cig_total;
 }
 
+// Vectorized Go-style PRNG seeding chain for utils/gorand.py: out[i][k] =
+// seeds[i] * powers[k] mod (2^31 - 1). The constant modulus lets the
+// compiler strength-reduce the division (numpy's uint64 % cannot).
+void gorand_chain_batch(const int64_t* seeds, int64_t n,
+                        const uint64_t* powers, int64_t n_pow,
+                        uint64_t* out) {
+  constexpr uint64_t M = 0x7FFFFFFFULL;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t s = (uint64_t)seeds[i];
+    uint64_t* row = out + i * n_pow;
+    for (int64_t k = 0; k < n_pow; ++k)
+      row[k] = (s * powers[k]) % M;
+  }
+}
+
 }  // extern "C"
