@@ -39,6 +39,10 @@ def _lib():
                 lib.mem_reg2aln_batch.restype = i64
                 lib.mem_reg2aln_batch.argtypes = [
                     p, i64, p, i64, p, p, p, i64, p, p, p, p, i64]
+            if hasattr(lib, "mismatch_walk_batch"):
+                lib.mismatch_walk_batch.restype = i64
+                lib.mismatch_walk_batch.argtypes = [
+                    p, p, p, p, i64, p, p, p, i64]
     return lib if _ok else None
 
 
@@ -126,6 +130,71 @@ def reg2aln_batch(fm, opt, tasks) -> Optional[list]:
             reversed_=bool(is_rev), edit_distance=nm, cigar=cigar,
             score=reg.score, sub=max(reg.sub, reg.csub), read_s=reg.qb,
             read_e=reg.qe)
+    return out
+
+
+def mismatch_walk_batch(walks) -> Optional[list]:
+    """GetAlignments CIGAR walks in one native call.
+
+    ``walks`` rows: (cigar, ref_bytes, read_bytes, ref_start, ref_end,
+    reversed_). Returns per-walk (matches, indels, indel_length,
+    soft_clipped, soft_clipped_length, mismatch_locs, mismatch_read_locs),
+    or None when the library is missing. Raises RuntimeError on the
+    cigar-longer-than-read invariant breach (same as the Python walk).
+    """
+    lib = _lib()
+    if lib is None or not hasattr(lib, "mismatch_walk_batch"):
+        return None
+    n = len(walks)
+    if n == 0:
+        return []
+    cig_parts = []
+    tasks = np.zeros((n, 9), np.int64)
+    ref_lens = []
+    read_lens = []
+    coff = 0
+    for i, (cigar, ref, read, rs, re_, rev) in enumerate(walks):
+        flat = [v for pair in cigar for v in pair]
+        cig_parts.append(flat)
+        tasks[i, 0] = coff
+        tasks[i, 1] = len(cigar)
+        coff += 2 * len(cigar)
+        ref_lens.append(len(ref))
+        read_lens.append(len(read))
+        tasks[i, 6] = rs
+        tasks[i, 7] = re_
+        tasks[i, 8] = 1 if rev else 0
+    tasks[1:, 2] = np.cumsum(ref_lens[:-1])
+    tasks[1:, 4] = np.cumsum(read_lens[:-1])
+    tasks[:, 3] = ref_lens
+    tasks[:, 5] = read_lens
+    cigars = np.array([v for part in cig_parts for v in part] or [0],
+                      dtype=np.int32)
+    refs = np.frombuffer(b"".join(w[1] for w in walks) or b"\0", np.uint8)
+    reads = np.frombuffer(b"".join(w[2] for w in walks) or b"\0", np.uint8)
+    stats = np.empty((n, 6), np.int64)
+    mm_offs = np.empty(n, np.int64)
+    cap = max(int(sum(read_lens)), 1)
+    while True:
+        mm = np.empty((cap, 2), np.int64)
+        total = lib.mismatch_walk_batch(
+            cigars.ctypes.data, refs.ctypes.data, reads.ctypes.data,
+            tasks.ctypes.data, n, stats.ctypes.data, mm_offs.ctypes.data,
+            mm.ctypes.data, cap)
+        if total == -2:
+            raise RuntimeError("cigar longer than read")
+        if total >= 0:
+            break
+        cap *= 4
+    out = []
+    for i in range(n):
+        o = int(mm_offs[i])
+        c = int(stats[i, 5])
+        pairs = mm[o:o + c]
+        out.append((int(stats[i, 0]), int(stats[i, 1]), int(stats[i, 2]),
+                    int(stats[i, 3]), int(stats[i, 4]),
+                    [int(v) for v in pairs[:, 0]],
+                    [int(v) for v in pairs[:, 1]]))
     return out
 
 

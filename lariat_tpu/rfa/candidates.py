@@ -171,6 +171,32 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
                                   else ch.fastq.read2, ch.ea.region))
                     keys.append(id(ch))
         sra_cache = dict(zip(keys, engine.reg2aln_batch(tasks))) if tasks             else {}
+    # batched native CIGAR walks (mismatch loci + op counts) per barcode
+    walk_cache = None
+    if sra_cache is not None:
+        from ..align import native_engine
+        walk_tasks = []
+        walk_keys = []
+        for chain_list in barcode_chains:
+            for ch in chain_list:
+                if ch.ea is None or ch.pos == -1:
+                    continue
+                sra = sra_cache[id(ch)]
+                if sra is None:
+                    continue
+                ref_start, ref_end = ch.pos, ch.aend
+                if sra.reversed_:
+                    ref_start, ref_end = ch.aend + 1, ch.pos + 1
+                ref_seq = engine.fm.get_seq(sra.chrom, ref_start, ref_end,
+                                            sra.reversed_)
+                read_seq = ch.fastq.read1 if ch.read1 else ch.fastq.read2
+                walk_tasks.append((sra.cigar, ref_seq, read_seq,
+                                   ref_start, ref_end, sra.reversed_))
+                walk_keys.append(id(ch))
+        walked = (native_engine.mismatch_walk_batch(walk_tasks)
+                  if walk_tasks else [])
+        if walked is not None:
+            walk_cache = dict(zip(walk_keys, walked))
     for chain_list in barcode_chains:
         best_score = 0
         for ch in chain_list:
@@ -194,7 +220,12 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
             mismatch_read_locs: List[int] = []
             reversed_ = sra.reversed_ if sra else False
             cigar = sra.cigar if sra else ()
-            if sra is not None and ch.pos != -1:
+            if (sra is not None and ch.pos != -1 and walk_cache is not None
+                    and id(ch) in walk_cache):
+                (matches, indels, indel_length, soft_clipping,
+                 soft_clipping_length, mismatch_locs,
+                 mismatch_read_locs) = walk_cache[id(ch)]
+            elif sra is not None and ch.pos != -1:
                 ref_start, ref_end = ch.pos, ch.aend
                 if reversed_:
                     ref_start, ref_end = ch.aend + 1, ch.pos + 1

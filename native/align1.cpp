@@ -752,6 +752,82 @@ int64_t mem_reg2aln_batch(
   return cig_total;
 }
 
+// GetAlignments' CIGAR walk (lariat.go:1552-1704 semantics, mirrored from
+// rfa/candidates.py): count matches/indels/soft-clips and collect mismatch
+// loci by comparing the contig-fetched ASCII reference slice against the
+// raw read bytes. tasks rows (int64): [cigar_off, n_cigar_pairs, ref_off,
+// ref_len, read_off, read_len, ref_start, ref_end, reversed]. stats out
+// rows (int64 x6): [matches, indels, indel_length, soft_clipped,
+// soft_clipped_length, n_mismatch]; mismatch (loc, read_loc) int64 pairs
+// appended to mm_out (per-task offset in stats via running total order).
+// Returns total mismatch pairs, -1 if mm_cap exceeded, -2 on the
+// cigar-longer-than-read invariant breach (caller raises).
+int64_t mismatch_walk_batch(const int32_t* cigars, const uint8_t* refs,
+                            const uint8_t* reads, const int64_t* tasks,
+                            int64_t n_tasks, int64_t* stats_out,
+                            int64_t* mm_off_out, int64_t* mm_out,
+                            int64_t mm_cap) {
+  int64_t total = 0;
+  for (int64_t t = 0; t < n_tasks; ++t) {
+    const int64_t* tk = tasks + t * 9;
+    const int32_t* cig = cigars + tk[0];
+    int64_t n_pairs = tk[1];
+    const uint8_t* ref = refs + tk[2];
+    int64_t ref_len = tk[3];
+    const uint8_t* read = reads + tk[4];
+    int64_t read_len = tk[5];
+    int64_t ref_start = tk[6], ref_end = tk[7];
+    bool rev = tk[8] != 0;
+    int64_t matches = 0, indels = 0, indel_len = 0, sc = 0, sc_len = 0;
+    int64_t ref_off = 0, read_off = 0, n_mm = 0;
+    mm_off_out[t] = total;
+    for (int64_t kk = 0; kk < n_pairs; ++kk) {
+      // ops walked in reverse order on the reverse strand
+      int64_t k = rev ? n_pairs - 1 - kk : kk;
+      int op = cig[2 * k], ln = cig[2 * k + 1];
+      if (op == 0) {
+        matches += ln;
+        int64_t n_ref = std::min((int64_t)ln,
+                                 std::max(ref_len - ref_off, (int64_t)0));
+        if (read_off + n_ref > read_len) return -2;
+        for (int64_t m = 0; m < n_ref; ++m) {
+          if (ref[ref_off + m] != read[read_off + m]) {
+            if (total + n_mm >= mm_cap) return -1;
+            int64_t loc = rev ? ref_end - (ref_off + m)
+                              : ref_off + ref_start + m;
+            mm_out[2 * (total + n_mm)] = loc;
+            mm_out[2 * (total + n_mm) + 1] = read_off + m;
+            ++n_mm;
+          }
+        }
+        ref_off += ln;
+        read_off += ln;
+      } else if (op == 1) {
+        ++indels;
+        indel_len += ln;
+        read_off += ln;
+      } else if (op == 2) {
+        ++indels;
+        indel_len += ln;
+        ref_off += ln;
+      } else if (op == 3) {
+        ++sc;
+        sc_len += ln;
+        read_off += ln;
+      }
+    }
+    int64_t* st = stats_out + t * 6;
+    st[0] = matches;
+    st[1] = indels;
+    st[2] = indel_len;
+    st[3] = sc;
+    st[4] = sc_len;
+    st[5] = n_mm;
+    total += n_mm;
+  }
+  return total;
+}
+
 // Vectorized Go-style PRNG seeding chain for utils/gorand.py: out[i][k] =
 // seeds[i] * powers[k] mod (2^31 - 1). The constant modulus lets the
 // compiler strength-reduce the division (numpy's uint64 % cannot).

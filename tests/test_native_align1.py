@@ -74,3 +74,38 @@ def test_native_reg2aln_matches_python(dup_genome, seed):  # noqa: F811
     for (seq, reg), g in zip(tasks, got):
         want = engine.reg2aln(seq, reg)
         assert dataclasses.asdict(g) == dataclasses.asdict(want), (seq, reg)
+
+
+def test_native_mismatch_walk_matches_python(dup_genome, monkeypatch):  # noqa: F811
+    """get_alignments with the C++ CIGAR walk == the inline Python walk."""
+    from lariat_tpu.config import RFAConfig
+    from lariat_tpu.rfa.candidates import get_alignments, get_chains
+
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    cfg = RFAConfig()
+    from test_rfa import _make_pair
+    rng = np.random.default_rng(17)
+    reads = []
+    for i in range(12):
+        pos = int(rng.integers(2000, 42500))
+        reads.append(_make_pair(genome, pos, 300, f"mm:{i}"))
+
+    def run():
+        chains, _ = get_chains(engine, reads, cfg.chain_score_delta)
+        return get_alignments(engine, chains, cfg.alignment_score_delta,
+                              cfg.improper_pair_penalty)
+
+    filt_a, full_a = run()
+    monkeypatch.setattr(native_engine, "mismatch_walk_batch",
+                        lambda walks: None)
+    filt_b, full_b = run()
+    for la, lb in zip(full_a, full_b):
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            assert (a.matches, a.mismatches, a.indels, a.soft_clipped,
+                    a.soft_clipped_length, a.mismatch_locs,
+                    a.mismatch_read_locs) == \
+                   (b.matches, b.mismatches, b.indels, b.soft_clipped,
+                    b.soft_clipped_length, b.mismatch_locs,
+                    b.mismatch_read_locs)
