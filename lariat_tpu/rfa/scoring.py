@@ -20,6 +20,20 @@ def is_pair(read1: Alignment, read2: Alignment) -> bool:
     return -35 <= dist < 750
 
 
+def _part(a: Alignment) -> float:
+    """Per-alignment term of scoreAlignment (cached; all terms are exact
+    multiples of 0.5 so the cached partial sum is bit-identical to the
+    sequential accumulation)."""
+    p = a.score_part
+    if p is None:
+        p = a.mismatches * -2.0 + a.indels * -3.0
+        if a.soft_clipped > 0:
+            p -= 5.0 * a.soft_clipped
+            p -= a.soft_clipped_length * 0.5
+        a.score_part = p
+    return p
+
+
 def score_alignment(aln: Optional[Alignment], mate: Optional[Alignment],
                     log_molecule_penalty: float,
                     improper_pair_penalty: float) -> float:
@@ -27,15 +41,9 @@ def score_alignment(aln: Optional[Alignment], mate: Optional[Alignment],
     -5/side -0.5/base, improper-pair penalty, molecule penalty."""
     score = 0.0
     if aln is not None:
-        score += aln.mismatches * -2.0 + aln.indels * -3.0
-        if aln.soft_clipped > 0:
-            score -= 5.0 * aln.soft_clipped
-            score -= aln.soft_clipped_length * 0.5
+        score += _part(aln)
     if mate is not None:
-        score += mate.mismatches * -2.0 + mate.indels * -3.0
-        if mate.soft_clipped > 0:
-            score -= 5.0 * mate.soft_clipped
-            score -= mate.soft_clipped_length * 0.5
+        score += _part(mate)
     if mate is None or aln is None or not is_pair(aln, mate):
         score += improper_pair_penalty
     if aln is not None and not aln.active_molecule:

@@ -113,6 +113,10 @@ class Alignment:
     updated_log_alignment_probability: float = 0.0
     bwa_pick: bool = False
     mapq_data: Optional[MapQData] = None
+    # lazily cached per-alignment term of score_alignment; the op counts are
+    # immutable after GetAlignments, and every term is a multiple of 0.5, so
+    # caching the exact partial sum cannot change any downstream float
+    score_part: Optional[float] = None
     sum_move_probability_change: float = 1.0
     molecule_confidence: float = 0.00075 * 0.025
     active_molecule: bool = False
