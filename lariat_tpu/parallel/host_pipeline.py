@@ -46,6 +46,10 @@ def _init_worker(engine: AlignmentEngine, config: RFAConfig,
     _G["tid"] = tid
     _G["debug_tags"] = debug_tags
     _G["simulated"] = simulated
+    # the pool already process-parallelizes across cores; per-worker native
+    # thread fan-out would oversubscribe (workers x N_THREADS threads)
+    from ..index import native_ops
+    native_ops.N_THREADS = 1
 
 
 def _run_one(work) -> PackedBarcode:
