@@ -232,6 +232,12 @@ class AlignmentEngine:
         """
         from ..index import native_ops
         from .seeding import Intv
+        if with_rbegs and raw:
+            fused = native_ops.collect_seeds_rbegs_batch(self.fm, qs,
+                                                         self.opt)
+            if fused is not None:
+                mems, rbegs = fused
+                return [(m, b.tolist()) for m, b in zip(mems, rbegs)]
         nat = native_ops.collect_seeds_batch(self.fm, qs, self.opt)
         if nat is None:
             return None

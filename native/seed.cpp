@@ -345,6 +345,63 @@ int64_t fm_collect_seeds_batch(
   return total;
 }
 
+// Seeds + SA-dereferenced occurrences in one call: runs
+// fm_collect_seeds_batch, then walks mem_chain's occurrence schedule
+// (step-sampled above max_occ) dereferencing each SA row. rbegs go to
+// rb_out with rb_counts/rb_offsets per read; returns total occurrences,
+// -1 if a capacity is exceeded (mems output is filled first, identically
+// to fm_collect_seeds_batch, whose return lands in *n_mems_out).
+int64_t fm_collect_seeds_rbegs_batch(
+    const uint32_t* bwt_words, const int64_t* occ_ckpt, const int64_t* L2,
+    const int64_t* sa_samples, int64_t primary, int64_t seq_len,
+    int64_t sa_intv, const uint8_t* reads, const int64_t* offsets,
+    int64_t n_reads, int min_seed_len, double split_factor, int split_width,
+    int64_t max_mem_intv, int64_t max_occ, int64_t* out, int64_t cap_out,
+    int64_t* out_counts, int64_t* out_offsets, int64_t* rb_out,
+    int64_t cap_rb, int64_t* rb_counts, int64_t* rb_offsets,
+    int64_t* n_mems_out, int n_threads) {
+  int64_t n_mems = fm_collect_seeds_batch(
+      bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv, reads,
+      offsets, n_reads, min_seed_len, split_factor, split_width,
+      max_mem_intv, out, cap_out, out_counts, out_offsets, n_threads);
+  *n_mems_out = n_mems;
+  if (n_mems < 0) return -1;
+  FMView fm{bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv};
+  // build the occurrence row schedule (enumerate_occurrences order)
+  std::vector<int64_t> rows;
+  rows.reserve(std::min<int64_t>(cap_rb, n_mems * 4));
+  int64_t total = 0;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    rb_offsets[r] = total;
+    const int64_t* mems = out + out_offsets[r] * 5;
+    for (int64_t m = 0; m < out_counts[r]; ++m) {
+      int64_t x0 = mems[m * 5], s = mems[m * 5 + 2];
+      int64_t step = s > max_occ ? s / max_occ : 1;
+      int64_t count = 0;
+      for (int64_t k = 0; k < s && count < max_occ; k += step, ++count) {
+        if (total >= cap_rb) return -1;
+        rows.push_back(x0 + k);
+        ++total;
+      }
+    }
+    rb_counts[r] = total - rb_offsets[r];
+  }
+  int workers = static_cast<int>(
+      std::max<int64_t>(1, std::min<int64_t>(n_threads, total)));
+  if (total < 1024 || workers == 1) {
+    for (int64_t i = 0; i < total; ++i) rb_out[i] = sa_lookup(fm, rows[i]);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < workers; ++t)
+      threads.emplace_back([&, t, workers]() {
+        for (int64_t i = t; i < total; i += workers)
+          rb_out[i] = sa_lookup(fm, rows[i]);
+      });
+    for (auto& th : threads) th.join();
+  }
+  return total;
+}
+
 // Batched sampled-SA dereference.
 void fm_sa_lookup_batch(const uint32_t* bwt_words, const int64_t* occ_ckpt,
                         const int64_t* L2, const int64_t* sa_samples,
