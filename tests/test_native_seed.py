@@ -7,6 +7,8 @@ from lariat_tpu.align import seeding
 from lariat_tpu.config import AlignerConfig
 from lariat_tpu.index import fmindex, native_ops
 
+from test_rfa import dup_genome  # noqa: F401
+
 
 @pytest.fixture(scope="module")
 def phix(request):
@@ -47,3 +49,38 @@ def test_native_sa_lookup_matches(phix):
     assert got is not None
     for r, g in zip(rows, got):
         assert int(g) == phix.sa_lookup(int(r)), r
+
+
+def test_fused_seeds_rbegs_matches_separate(dup_genome):  # noqa: F811
+    """fm_collect_seeds_rbegs_batch == collect_seeds + enumerate + sa."""
+    import numpy as np
+    from lariat_tpu.align.chaining import enumerate_occurrences
+    from lariat_tpu.align.engine import AlignmentEngine, encode_read
+    from lariat_tpu.align.seeding import Intv
+    from lariat_tpu.index import native_ops
+
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    rng = np.random.default_rng(8)
+    qs = []
+    for _ in range(30):
+        ln = int(rng.integers(25, 152))
+        pos = int(rng.integers(0, len(genome) - ln))
+        q = bytearray(genome[pos:pos + ln])
+        for _ in range(int(rng.integers(0, 5))):
+            q[int(rng.integers(0, len(q)))] = b"ACGT"[int(rng.integers(0, 4))]
+        qs.append(encode_read(bytes(q)))
+    fused = native_ops.collect_seeds_rbegs_batch(fm, qs, engine.opt)
+    if fused is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    mems_f, rbegs_f = fused
+    mems_s = native_ops.collect_seeds_batch(fm, qs, engine.opt)
+    for i, arr in enumerate(mems_s):
+        assert np.array_equal(mems_f[i], arr), i
+        occs = enumerate_occurrences([Intv(*r) for r in arr.tolist()],
+                                     engine.opt)
+        rows = np.array([row for _, row in occs], dtype=np.int64)
+        want = (native_ops.sa_lookup_batch(fm, rows) if len(rows)
+                else np.zeros(0, np.int64))
+        assert np.array_equal(rbegs_f[i], want), i
