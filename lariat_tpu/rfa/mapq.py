@@ -22,10 +22,21 @@ GENOME_LENGTH = 3.2e9  # hard-coded human genome length (lariat.go:885)
 
 def molecule_mapq_probability_sums(molecules: List[CandidateMolecule],
                                    log_unpaired_probability: float) -> None:
+    # sinks sharing no reads with the source contribute to nothing (their
+    # source_alignments list is empty), so the sweep is restricted to
+    # read-sharing sinks via an index — exact, same contribution order
+    read_to_mols: Dict[int, list] = {}
+    for mi, mol in enumerate(molecules):
+        for read_id in mol.best_alignment_for_read.keys():
+            read_to_mols.setdefault(read_id, []).append(mi)
     for src_id, source in enumerate(molecules):
-        for snk_id, sink in enumerate(molecules):
+        cand = set()
+        for read_id in source.active_alignments.keys():
+            cand.update(read_to_mols.get(read_id, ()))
+        for snk_id in sorted(cand):
             if src_id == snk_id:
                 continue
+            sink = molecules[snk_id]
             source_alignments = [
                 aln for aln in source.active_alignments.values()
                 if sink.best_alignment_for_read.get(aln.read_id) is not None]

@@ -232,3 +232,70 @@ def test_optimizer_indexed_sweep_equals_full_sweep(dup_genome):
     act_a = [[aln.active for aln in lst] for lst in alns_a]
     act_b = [[aln.active for aln in lst] for lst in alns_b]
     assert act_a == act_b
+
+
+def test_mapq_sums_indexed_equals_full_sweep(dup_genome):
+    """The read-sharing sink restriction in molecule_mapq_probability_sums
+    must not change any sum (non-sharing sinks contribute to nothing)."""
+    import math
+    from lariat_tpu.align.engine import AlignmentEngine
+    from lariat_tpu.config import RFAConfig
+    from lariat_tpu.rfa import mapq as mapq_mod
+    from lariat_tpu.rfa.candidates import (get_alignments, get_chains,
+                                           tag_best_alignments)
+    from lariat_tpu.rfa.molecules import (
+        infer_molecules, mark_best_alignment_for_read_in_molecule,
+        scrap_molecules, set_molecule_differences)
+    from lariat_tpu.rfa.optimizer import RFAOptimizer, fast_score
+
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    cfg = RFAConfig()
+    rng = np.random.default_rng(41)
+
+    def build():
+        reads = []
+        for m, start in enumerate((1800, 41800, 60000)):
+            for i in range(8):
+                pos = start + int(rng.integers(0, 900))
+                reads.append(_make_pair(genome, pos, 300, f"q:{m}:{i}"))
+        chains, bc = get_chains(engine, reads, cfg.chain_score_delta)
+        alignments, _ = get_alignments(engine, chains,
+                                       cfg.alignment_score_delta,
+                                       cfg.improper_pair_penalty)
+        positions = tag_best_alignments(alignments, -17)
+        molecules = infer_molecules(positions)
+        mark_best_alignment_for_read_in_molecule(
+            molecules, cfg.improper_pair_penalty)
+        molecules = scrap_molecules(molecules)
+        set_molecule_differences(molecules, False)
+        RFAOptimizer(molecules, alignments,
+                     cfg.improper_pair_penalty, bc).optimize()
+        return molecules, alignments
+
+    def full_sweep(molecules, lup):
+        out = {}
+        for src_id, source in enumerate(molecules):
+            for snk_id, sink in enumerate(molecules):
+                if src_id == snk_id:
+                    continue
+                shared = [a for a in source.active_alignments.values()
+                          if sink.best_alignment_for_read.get(a.read_id)
+                          is not None]
+                change, _ = fast_score(source, sink, lup)
+                prob = math.pow(10.0, change) if change < 300 else math.inf
+                for a in shared:
+                    out[id(a)] = out.get(id(a), 0.0) + prob
+        return out
+
+    rng = np.random.default_rng(41)
+    mols, alns = build()
+    want = full_sweep(mols, cfg.improper_pair_penalty)
+    before = {id(a): a.sum_move_probability_change
+              for lst in alns for a in lst}
+    mapq_mod.molecule_mapq_probability_sums(mols, cfg.improper_pair_penalty)
+    for lst in alns:
+        for a in lst:
+            got = a.sum_move_probability_change - before[id(a)]
+            expect = want.get(id(a), 0.0)
+            assert got == expect, (a.read_id, got, expect)
