@@ -110,3 +110,49 @@ def test_cli_debug_flags(tmp_path, capfd):
         assert tag in data, tag
     # duplicated region should yield second-best debug tags on some read
     assert b"XLZ" in data and b"XPZ" in data and b"XRZ" in data
+
+
+def test_cli_byte_determinism(tmp_path):
+    """Two runs with identical arguments produce byte-identical BAMs
+    (4 workers; ordering and compression must be deterministic)."""
+    import glob
+    import gzip
+    import subprocess
+    import sys as _sys
+    rng = np.random.default_rng(5)
+    genome = BASES[rng.integers(0, 4, 50000)].tobytes()
+    fasta = tmp_path / "g.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        s = genome.decode()
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    fq = tmp_path / "r.fastq.gz"
+    qual = "I" * 100
+    with gzip.open(fq, "wt") as f:
+        for b in range(6):
+            bc = f"AAACAGAGAAAG{'ACGT'[b % 4]}{'ACGT'[b // 4]}-1"
+            for i in range(6):
+                pos = 2000 + b * 7000 + i * 300
+                r1 = genome[pos:pos + 100].decode()
+                r2 = genome[pos + 200:pos + 300].translate(COMP)[::-1].decode()
+                f.write(f"@d{b}:r{i} x\n{r1}\n{qual}\n{r2}\n{qual}\n"
+                        f"{bc},{bc.split('-')[0]}\nJJJJJJJJJJJJJJ\n"
+                        f"ACGTACGT\nIIIIIIII\n")
+    out = tmp_path / "out"
+    snap = None
+    for _run in range(2):
+        r = subprocess.run(
+            [_sys.executable, "-m", "lariat_tpu.cli", "-reads", str(fq),
+             "-genome", str(fasta), "-output", str(out), "-threads", "2",
+             "-first_chunk"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        cur = {p.split("/")[-1]: open(p, "rb").read()
+               for p in glob.glob(str(out / "*.bam"))}
+        if snap is None:
+            snap = cur
+        else:
+            assert sorted(cur) == sorted(snap)
+            assert not [k for k in cur if cur[k] != snap[k]]
