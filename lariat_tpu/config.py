@@ -14,7 +14,6 @@ defines SAM equivalence, so every constant is catalogued here with its origin:
 from __future__ import annotations
 
 import dataclasses
-import math
 
 
 @dataclasses.dataclass(frozen=True)
@@ -140,10 +139,3 @@ DEFAULT_PAIR = PairModel()
 DEFAULT_RFA = RFAConfig()
 DEFAULT_BATCH = BatchConfig()
 
-
-def log10_sum_exp10(values):
-    """log10(sum(10^v)) with max-subtraction, mirrors reference normalization."""
-    m = max(values)
-    if math.isinf(m):
-        return m
-    return m + math.log10(sum(10 ** (v - m) for v in values))
