@@ -156,3 +156,55 @@ def test_cli_byte_determinism(tmp_path):
         else:
             assert sorted(cur) == sorted(snap)
             assert not [k for k in cur if cur[k] != snap[k]]
+
+
+def test_cli_native_vs_python_stacks_identical(tmp_path):
+    """The C++ engine stack (align1/reg2aln/walks/ksw) and the pure-Python
+    reference stack must produce byte-identical BAMs end to end
+    (LARIAT_NO_NATIVE_* flip every native dispatch at once)."""
+    import glob
+    import gzip
+    import subprocess
+    import sys as _sys
+    rng = np.random.default_rng(29)
+    genome = bytearray(BASES[rng.integers(0, 4, 60000)].tobytes())
+    genome[31000:32000] = genome[3000:4000]  # ambiguity for RFA
+    genome = bytes(genome)
+    fasta = tmp_path / "g.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        s = genome.decode()
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    fq = tmp_path / "r.fastq.gz"
+    qual = "I" * 100
+    with gzip.open(fq, "wt") as f:
+        for b in range(4):
+            bc = f"AAACAGAGAAAG{'ACGT'[b]}T-1"
+            for i in range(8):
+                pos = 2500 + b * 8000 + i * 400
+                r1b = bytearray(genome[pos:pos + 100])
+                r1b[int(rng.integers(0, 100))] = BASES[int(rng.integers(0, 4))]
+                r2 = genome[pos + 200:pos + 300].translate(COMP)[::-1]
+                f.write(f"@s{b}:r{i} x\n{bytes(r1b).decode()}\n{qual}\n"
+                        f"{r2.decode()}\n{qual}\n"
+                        f"{bc},{bc.split('-')[0]}\nJJJJJJJJJJJJJJ\n"
+                        f"ACGTACGT\nIIIIIIII\n")
+    out = tmp_path / "out"
+    snap = None
+    for env_extra in ({}, {"LARIAT_NO_NATIVE_KSW": "1",
+                           "LARIAT_NO_NATIVE_ALIGN1": "1"}):
+        r = subprocess.run(
+            [_sys.executable, "-m", "lariat_tpu.cli", "-reads", str(fq),
+             "-genome", str(fasta), "-output", str(out), "-threads", "2",
+             "-first_chunk"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu", **env_extra})
+        assert r.returncode == 0, r.stderr[-1500:]
+        cur = {p.split("/")[-1]: open(p, "rb").read()
+               for p in glob.glob(str(out / "*.bam"))}
+        if snap is None:
+            snap = cur
+        else:
+            assert sorted(cur) == sorted(snap)
+            assert not [k for k in cur if cur[k] != snap[k]]
