@@ -109,3 +109,31 @@ def test_native_mismatch_walk_matches_python(dup_genome, monkeypatch):  # noqa: 
                    (b.matches, b.mismatches, b.indels, b.soft_clipped,
                     b.soft_clipped_length, b.mismatch_locs,
                     b.mismatch_read_locs)
+
+
+@pytest.mark.parametrize("read_len", [300, 700])
+def test_long_reads_native_matches_python(dup_genome, read_len):  # noqa: F811
+    """Longer-than-Illumina reads flow through both stacks identically."""
+    fm, genome = dup_genome
+    engine = AlignmentEngine(fm)
+    rng = np.random.default_rng(read_len)
+    pos = int(rng.integers(0, len(genome) - read_len - 50))
+    q = bytearray(genome[pos:pos + read_len])
+    q = q[:read_len // 2] + bytearray(b"ACGTAC") + q[read_len // 2:]
+    for _ in range(6):
+        q[int(rng.integers(0, len(q)))] = b"ACGT"[int(rng.integers(0, 4))]
+    seq = bytes(q)
+    qc = encode_read(seq)
+    py = engine.align1(qc)
+    mr = engine.collect_mems_many([qc], with_rbegs=True, raw=True)
+    nat = native_engine.align1_batch(fm, engine.opt, [qc],
+                                     [mr[0][0]], [mr[0][1]])[0]
+    assert len(py) == len(nat)
+    for a, b in zip(nat, py):
+        assert dataclasses.asdict(a) == dataclasses.asdict(b)
+    assert py, "long read must align"
+    sra_py = engine.reg2aln(seq, py[0])
+    sra_nat = native_engine.reg2aln_batch(fm, engine.opt, [(seq, py[0])])[0]
+    assert dataclasses.asdict(sra_py) == dataclasses.asdict(sra_nat)
+    qlen_used = sum(l for op, l in sra_py.cigar if op in (0, 1, 3))
+    assert qlen_used == len(seq)
