@@ -94,10 +94,11 @@ def load_reference(genome: str, index_prefix: str = ""):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    if args.debugPrintMove:
-        # set before workers fork so every process inherits the switch
+    if args.debugPrintMove or args.debug:
+        # set before workers fork so every process inherits the switches
         from .rfa import debug as rfa_debug
-        rfa_debug.PRINT_MOVE = True
+        rfa_debug.PRINT_MOVE = rfa_debug.PRINT_MOVE or args.debugPrintMove
+        rfa_debug.DEBUG = rfa_debug.DEBUG or args.debug
     print(f"Starting lariat_tpu. Version: {__version__}")
     print(f"Loading reference genome: {args.genome}")
     fm = load_reference(args.genome, args.index)

@@ -71,11 +71,36 @@ def open_maybe_gzip(path: str) -> BinaryIO:
                 [prog, "-dc", path], stdout=subprocess.PIPE,
                 stderr=subprocess.DEVNULL, bufsize=1 << 20)
             assert proc.stdout is not None
-            stream = proc.stdout
-            # keep the process alive alongside the stream
-            stream._lariat_proc = proc  # type: ignore[attr-defined]
-            return stream
+            return _SubprocessStream(proc)
     return gzip.open(path, "rb")
+
+
+class _SubprocessStream(io.RawIOBase):
+    """Wraps a decompressor child's stdout and reaps the child on EOF or
+    close, so long multi-chunk runs don't accumulate zombies."""
+
+    def __init__(self, proc: subprocess.Popen):
+        self._proc = proc
+        self._raw = proc.stdout
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n = self._raw.readinto(b)
+        if not n and self._proc.poll() is None:
+            self._proc.wait()
+        return n
+
+    def close(self) -> None:
+        if not self.closed:
+            try:
+                self._raw.close()
+            finally:
+                if self._proc.poll() is None:
+                    self._proc.terminate()
+                self._proc.wait()
+        super().close()
 
 
 class FastQReader:

@@ -6,3 +6,8 @@ processes fork (the CLI does) so every worker inherits it.
 """
 
 PRINT_MOVE = False
+
+# reference ``-debug`` (main.go:17): gates the per-alignment molecule-move
+# diagnostic strings built by debugStrings (lariat.go:994-1046) that flow
+# into the AA bam tag via mapq_data.active_alignments_in_molecules.
+DEBUG = False

@@ -122,6 +122,56 @@ def append_pseudocount_score(scores: List[float], arr: List[Alignment],
         scores.append(pseudo_count_alignment_score(arr[0], log_molecule_penalty))
 
 
+def _go_int64(x: float) -> int:
+    """Go int64(float64) truncation, clamped on inf like gc's saturation."""
+    if math.isnan(x):
+        return -(1 << 63)
+    if x == math.inf:
+        return (1 << 63) - 1
+    if x == -math.inf:
+        return -(1 << 63)
+    return int(x)
+
+
+def debug_strings(aln: Alignment, alignments: List[List[Alignment]],
+                  molecules: List[CandidateMolecule],
+                  cache: Dict[int, Dict[int, str]],
+                  log_unpaired_probability: float) -> None:
+    """-debug diagnostics: append per-alternative-molecule move summaries to
+    mapq_data.active_alignments_in_molecules (emitted as the AA bam tag,
+    bamwriter.go:515). Mirrors debugStrings (lariat.go:994-1046) including the
+    per-(source,sink) molecule string cache."""
+    from . import debug
+    if not debug.DEBUG:
+        return
+    for alt in alignments[aln.read_id]:
+        if alt.molecule_id == -1:
+            continue
+        alt_mol = molecules[alt.molecule_id]
+        chrom = alt.contig
+        start, end = alt_mol.start, alt_mol.stop
+        sub = cache.get(aln.molecule_id)
+        molstring = sub.get(alt.molecule_id) if sub else None
+        if molstring is None:
+            src_mol = molecules[aln.molecule_id]
+            sourcesink = sum(
+                1 for a in src_mol.active_alignments.values()
+                if alt_mol.best_alignment_for_read.get(a.read_id) is not None)
+            sinksource = sum(
+                1 for a in alt_mol.active_alignments.values()
+                if src_mol.best_alignment_for_read.get(a.read_id) is not None)
+            stc, _ = fast_score(src_mol, alt_mol, log_unpaired_probability)
+            tsc, _ = fast_score(alt_mol, src_mol, log_unpaired_probability)
+            molstring = (
+                f"{chrom}:{start}-{end}"
+                f":alignments:{len(alt_mol.active_alignments)}"
+                f":spots:{len(alt_mol.best_alignment_for_read)}"
+                f":mv_S->T:{sourcesink}:{_go_int64(stc)}"
+                f":mv_T->S:{sinksource}:{_go_int64(tsc)},")
+            cache.setdefault(aln.molecule_id, {})[alt.molecule_id] = molstring
+        aln.mapq_data.active_alignments_in_molecules += molstring
+
+
 def _neg10log10_1m(p: float) -> float:
     """-10*log10(1-p) with Go-style inf semantics."""
     arg = 1.0 - p
@@ -193,6 +243,7 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
                         alt = molecules[aln.molecule_id]
                         second_best_mol_conf = alt.molecule_confidence
                         second_best_mol_reads = len(alt.active_alignments)
+        dbg_cache: Dict[int, Dict[int, str]] = {}
         for aln in arr:
             if aln.active:
                 d = aln.mapq_data
@@ -210,6 +261,9 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
                     unique_molecules_active.get(read_id, {}))
                 d.score = score_alignment(aln, aln.mate_alignment, 0.0,
                                           improper_pair_penalty)
+                if molecules:
+                    debug_strings(aln, alignments, molecules, dbg_cache,
+                                  log_unpaired_probability)
 
         scores.sort()
         total_probability = 0.0

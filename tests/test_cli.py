@@ -82,9 +82,10 @@ def test_cli_debug_flags(tmp_path, capfd):
     out = tmp_path / "out"
     rc = cli.main(["-reads", str(fq), "-genome", str(fasta),
                    "-output", str(out), "-debugBamTags", "-debugPrintMove",
-                   "-threads", "1", "-first_chunk"])
+                   "-debug", "-threads", "1", "-first_chunk"])
     from lariat_tpu.rfa import debug as rfa_debug
     rfa_debug.PRINT_MOVE = False  # reset for other tests
+    rfa_debug.DEBUG = False
     assert rc == 0
     captured = capfd.readouterr()
     assert "NOW TESTING MAPQS" in captured.out
@@ -110,6 +111,9 @@ def test_cli_debug_flags(tmp_path, capfd):
         assert tag in data, tag
     # duplicated region should yield second-best debug tags on some read
     assert b"XLZ" in data and b"XPZ" in data and b"XRZ" in data
+    # -debug populates the AA tag with molecule-move diagnostics
+    # (debugStrings, lariat.go:994-1046)
+    assert b"mv_S->T" in data and b"mv_T->S" in data
 
 
 def test_cli_byte_determinism(tmp_path):

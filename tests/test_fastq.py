@@ -97,3 +97,37 @@ def test_nonwhitelist_force_flush(tmp_path):
     # abnormal-break check in reader.go:226-235), deferring the 201st record
     assert sizes == [200, 200, 50]
     assert uniques == [True, True, True]
+
+
+def test_subprocess_reaped(tmp_path):
+    """The pigz/gzip decompressor child is reaped on EOF and on early close
+    (no zombie accumulation in long multi-chunk runs)."""
+    import shutil
+    if not (shutil.which("pigz") or shutil.which("gzip")):
+        import pytest
+        pytest.skip("no external decompressor")
+    from lariat_tpu.io.fastq import open_maybe_gzip, _SubprocessStream
+    path = str(tmp_path / "t.fastq.gz")
+    recs = [_mk(f"r{i}", "AAACAGAGAAAGAT-1") for i in range(50)]
+    _write_fastq(path, recs)
+
+    # full read to EOF
+    stream = open_maybe_gzip(path)
+    assert isinstance(stream, _SubprocessStream)
+    while stream.read(1 << 16):
+        pass
+    assert stream._proc.returncode is not None  # reaped, not a zombie
+    stream.close()
+
+    # early close (mid-stream): child terminated and reaped
+    stream = open_maybe_gzip(path)
+    stream.read(10)
+    stream.close()
+    assert stream._proc.returncode is not None
+
+    # FastQReader.close() propagates through the BufferedReader wrapper
+    r = FastQReader(path)
+    r.read_barcode_set(trim=0)
+    proc = r._stream.raw._proc
+    r.close()
+    assert proc.returncode is not None
