@@ -93,6 +93,13 @@ def load_reference(genome: str, index_prefix: str = ""):
 
 
 def main(argv=None) -> int:
+    rc, _ = run(argv)
+    return rc
+
+
+def run(argv=None):
+    """Full pipeline; returns (exit_code, RFAStats) so multi-host drivers can
+    psum the stats across processes (parallel/multihost.py)."""
     args = build_parser().parse_args(argv)
     if args.debugPrintMove or args.debug:
         # set before workers fork so every process inherits the switches
@@ -215,7 +222,7 @@ def main(argv=None) -> int:
         print(f"simulated: total={stats.total} correct={stats.correct} "
               f"mapq10 total={stats.total_mapq10} correct={stats.correct_mapq10}")
     print("Lariat completed successfully")
-    return 0
+    return 0, stats
 
 
 if __name__ == "__main__":

@@ -87,10 +87,11 @@ def global_stats_psum(local_stats) -> list:
 
 
 def run_host(plan: HostShardPlan, genome: str, threads: int = 8,
-             use_device: str = "off", extra_args: Optional[List[str]] = None
-             ) -> int:
-    """Run this host's shard through the standard CLI pipeline."""
-    from ..cli import main as cli_main
+             use_device: str = "off", extra_args: Optional[List[str]] = None):
+    """Run this host's shard through the standard CLI pipeline.
+
+    Returns (exit_code, RFAStats) so the caller can psum stats globally."""
+    from ..cli import run as cli_run
     argv = ["-reads", plan.reads_path, "-genome", genome,
             "-output", plan.output_dir, "-threads", str(threads),
             "-use_device", use_device]
@@ -98,4 +99,65 @@ def run_host(plan: HostShardPlan, genome: str, threads: int = 8,
         argv.append("-first_chunk")
     if extra_args:
         argv.extend(extra_args)
-    return cli_main(argv)
+    return cli_run(argv)
+
+
+def main(argv=None) -> int:
+    """Per-process entry point for a real multi-host run:
+
+        python -m lariat_tpu.parallel.multihost \\
+            -coordinator host0:29500 -num_processes N -process_id i \\
+            -reads shard_i.fastq.gz -genome ref.fa -output_base out ...
+
+    Runs this host's shard through the standard pipeline (workers fork before
+    any jax initialization), THEN brings up jax.distributed and psums the
+    stats — so the collective never races the fork pool. Prints one JSON line
+    with the globally-summed stats; host outputs merge downstream with
+    tools/cat_bams.py --auto (reference contract: chunked invocation,
+    lariat/main.go:16,24 + bucket merge bamwriter.go:133-191).
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(prog="lariat_tpu.multihost")
+    p.add_argument("-coordinator", "--coordinator", default=None,
+                   help="coordinator address host:port (process 0 serves)")
+    p.add_argument("-num_processes", "--num_processes", type=int, default=1)
+    p.add_argument("-process_id", "--process_id", type=int, default=0)
+    p.add_argument("-reads", "--reads", required=True,
+                   help="this host's barcode-complete FASTQ shard")
+    p.add_argument("-genome", "--genome", required=True)
+    p.add_argument("-output_base", "--output_base", required=True)
+    p.add_argument("-threads", "--threads", type=int, default=8)
+    p.add_argument("-use_device", "--use_device", default="off")
+    p.add_argument("-jax_platform", "--jax_platform", default="",
+                   help="force a jax platform (tests: 'cpu' — the axon "
+                        "plugin overrides JAX_PLATFORMS, so env alone "
+                        "doesn't stick)")
+    args, extra = p.parse_known_args(argv)
+
+    if args.jax_platform:
+        import jax
+        jax.config.update("jax_platforms", args.jax_platform)
+
+    plan = HostShardPlan(
+        host_id=args.process_id, num_hosts=args.num_processes,
+        reads_path=args.reads,
+        output_dir=f"{args.output_base}/host{args.process_id:03d}",
+        first_chunk=(args.process_id == 0))
+    rc, stats = run_host(plan, args.genome, threads=args.threads,
+                         use_device=args.use_device, extra_args=extra)
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    summed = global_stats_psum(stats)
+    print(json.dumps({"host": args.process_id, "rc": rc,
+                      "output_dir": plan.output_dir,
+                      "local_stats": [stats.total, stats.correct,
+                                      stats.total_mapq10,
+                                      stats.correct_mapq10],
+                      "global_stats": summed}))
+    return rc
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())
