@@ -176,9 +176,78 @@ class BatchAlignmentEngine(AlignmentEngine):
     def align_batch(self, seqs: List[bytes]) -> List[List[AlnReg]]:
         """Candidate regions for a batch of reads (mem_align1_core xN).
 
-        Bit-identical to calling ``align1`` per read; the DP runs in 4
-        batched device waves plus a host replay.
+        Bit-identical to calling ``align1`` per read. Preferred path: the
+        C++ two-phase session (native/align1.cpp a1s_*) drives chain/filter/
+        replay while the extensions run as device waves — no per-seed Python.
+        Falls back to the original Python replay when the native library is
+        unavailable (LARIAT_NO_NATIVE_ALIGN1 keeps it testable).
         """
+        from . import native_engine
+        if native_engine.Align1Session.available():
+            out = self._align_batch_session(seqs)
+            if out is not None:
+                return out
+        return self._align_batch_python(seqs)
+
+    def _align_batch_session(self, seqs: List[bytes]
+                             ) -> Optional[List[List[AlnReg]]]:
+        from .engine import encode_read
+        from . import native_engine
+        from ..index import native_ops
+        from ..ops import sw_batch
+        opt = self.opt
+        qs = [encode_read(s) for s in seqs]
+        nonempty = [q for q in qs if len(q)]
+        seeded = native_ops.collect_seeds_rbegs_batch(self.fm, nonempty, opt)
+        if seeded is None:
+            return None
+        mems_ne, rbegs_ne = seeded
+        empty_m = np.zeros((0, 5), np.int64)
+        empty_b = np.zeros(0, np.int64)
+        mems_list, rbegs_list = [], []
+        it = iter(zip(mems_ne, rbegs_ne))
+        for q in qs:
+            if len(q):
+                m, b = next(it)
+                mems_list.append(m)
+                rbegs_list.append(b)
+            else:
+                mems_list.append(empty_m)
+                rbegs_list.append(empty_b)
+        sess = native_engine.Align1Session(self.fm, opt, qs, mems_list,
+                                           rbegs_list)
+        try:
+            mat = np.asarray(ksw.fill_score_matrix(opt.match_score,
+                                                   opt.mismatch_penalty))
+            while sess.pending():
+                # pallas: pin wave dims to 2 tiers (each distinct shape is a
+                # minutes-long Mosaic compile over a remote TPU link)
+                tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 576))
+                         if self.use_pallas else {})
+                q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
+                bonus = opt.pen_clip5 if sess.phase() == 0 else opt.pen_clip3
+                kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                          o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
+                          end_bonus=bonus, zdrop=opt.zdrop)
+                if self.use_pallas:
+                    from ..ops.sw_extend_pallas import extend_batch_pallas
+                    res = extend_batch_pallas(
+                        q, qlen, t, tlen, mat, w, h0,
+                        match_sc=opt.match_score,
+                        mismatch_sc=-opt.mismatch_penalty, **kw)
+                else:
+                    res = sw_batch.extend_batch(q, qlen, t, tlen, mat, w, h0,
+                                                **kw)
+                sess.feed(np.asarray(res.score), np.asarray(res.qle),
+                          np.asarray(res.tle), np.asarray(res.gtle),
+                          np.asarray(res.gscore), np.asarray(res.max_off))
+            return sess.finish()
+        finally:
+            sess.close()
+
+    def _align_batch_python(self, seqs: List[bytes]) -> List[List[AlnReg]]:
+        """Original Python wave replay (executable reference for the session
+        path; LARIAT_NO_NATIVE_ALIGN1=1 forces it)."""
         from .engine import encode_read
         from ..index import native_ops
         from .chaining import enumerate_occurrences
@@ -473,9 +542,98 @@ class BatchAlignmentEngine(AlignmentEngine):
         """mem_reg2aln for many (read, region) tasks with batched global DP.
 
         Bit-identical to calling ``reg2aln`` per task (the w2 band ladder is
-        replayed with batched waves); the no-DP all-M shortcut and NM/cigar
-        post-processing stay on the host.
+        replayed with batched waves). Preferred path: C++ session
+        (native/align1.cpp r2s_*) runs ladder + NM/clip finishing with the
+        Pallas global kernel + on-device traceback as the DP; the Python
+        ladder below is the fallback/reference.
         """
+        from . import native_engine
+        if native_engine.Reg2AlnSession.available():
+            out = self._reg2aln_session(tasks)
+            if out is not None:
+                return out
+        return self._reg2aln_python(tasks)
+
+    def _reg2aln_session(self, tasks) -> Optional[List[SingleReadAlignment]]:
+        from .engine import SingleReadAlignment, encode_read
+        from . import native_engine
+        opt, fm = self.opt, self.fm
+        n = len(tasks)
+        out: List[Optional[SingleReadAlignment]] = [None] * n
+        reads = []
+        read_key: Dict[int, int] = {}
+        rows = []
+        live = []
+        for idx, (seq, reg) in enumerate(tasks):
+            if reg is None or reg.rb < 0 or reg.re < 0:
+                out[idx] = SingleReadAlignment()
+                continue
+            k = read_key.get(id(seq))
+            if k is None:
+                k = len(reads)
+                read_key[id(seq)] = k
+                reads.append(encode_read(seq))
+            rows.append((k, reg.qb, reg.qe, reg.rb, reg.re, reg.truesc,
+                         reg.w))
+            live.append(idx)
+        if not rows:
+            return out
+        sess = native_engine.Reg2AlnSession(fm, opt, reads, rows)
+        try:
+            mat = np.asarray(self.mat)
+            while sess.pending():
+                tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 384, 576))
+                         if self.use_pallas else {})
+                q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
+                kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                          o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
+                if self.use_pallas:
+                    from ..ops import sw_global_pallas
+                    res = sw_global_pallas.global_batch_pallas_packed(
+                        q, qlen, t, tlen, mat, wv,
+                        match_sc=opt.match_score,
+                        mismatch_sc=-opt.mismatch_penalty, **kw)
+                    S = q.shape[1] + t.shape[1]
+                    ops_buf, i_fin, k_fin = (
+                        sw_global_pallas.traceback_ops_device(
+                            res.z, qlen, tlen, wv, S=S))
+                    raw = sw_global_pallas.cigars_from_ops_raw(
+                        np.asarray(ops_buf), np.asarray(i_fin),
+                        np.asarray(k_fin))
+                    cig_mat, nops = raw
+                    sess.feed(np.asarray(res.score), cig_mat, nops)
+                else:
+                    from ..ops import sw_global_batch
+                    B = int(sess.pending())
+                    n_col = min(q.shape[1], 2 * (opt.band_width << 2) + 1)
+                    res = sw_global_batch.global_batch(
+                        q, qlen, t, tlen, mat, wv, n_col, **kw)
+                    cigars = sw_global_batch.traceback_batch(
+                        np.asarray(res.z), np.asarray(res.beg),
+                        [int(v) for v in qlen[:B]],
+                        [int(v) for v in tlen[:B]],
+                        [int(v) for v in wv[:B]])
+                    sess.feed_cigar_lists(np.asarray(res.score), cigars)
+            meta, cig = sess.finish()
+        finally:
+            sess.close()
+        contigs = fm.contigs
+        for (_, qb, qe, rb, re, truesc, w), idx, mrow in zip(
+                rows, live, meta):
+            pos, rid, is_rev, nm, n_pairs, coff = (int(v) for v in mrow)
+            flatc = cig[2 * coff:2 * (coff + n_pairs)].tolist()
+            cigar = tuple(zip(flatc[0::2], flatc[1::2]))
+            reg = tasks[idx][1]
+            out[idx] = SingleReadAlignment(
+                pos=pos - contigs[rid].offset, rid=rid,
+                chrom=contigs[rid].name, reversed_=bool(is_rev),
+                edit_distance=nm, cigar=cigar, score=reg.score,
+                sub=max(reg.sub, reg.csub), read_s=reg.qb, read_e=reg.qe)
+        return out
+
+    def _reg2aln_python(self, tasks: List[Tuple[bytes, Optional[AlnReg]]]
+                        ) -> List[SingleReadAlignment]:
+        """Python ladder replay (executable reference for the session)."""
         from ..ops import sw_global_batch
         from .engine import encode_read
         opt, fm = self.opt, self.fm

@@ -271,3 +271,309 @@ def align1_batch(fm, opt, qs: Sequence[np.ndarray],
                 n_comp=int(row[12]), frac_rep=float(row[13])))
         result.append(lst)
     return result
+
+
+class Align1Session:
+    """Two-phase mem_align1: C++ control flow + device extension waves.
+
+    Usage (BatchAlignmentEngine.align_batch):
+
+        sess = Align1Session(fm, opt, qs, mems_list, rbegs_list)
+        while sess.pending():
+            wave = sess.wave_arrays()          # padded (B, L) uint8 buffers
+            res = <device extend kernel>(...)
+            sess.feed(res)
+        regs_per_read = sess.finish()
+
+    Bit-identical to align1_batch (asserted by tests): only the schedule of
+    the banded-SW extensions changes, never their inputs.
+    """
+
+    _registered = False
+
+    @classmethod
+    def _register(cls, lib):
+        if cls._registered:
+            return
+        p, i64 = ctypes.c_void_p, ctypes.c_int64
+        lib.a1s_start.restype = p
+        lib.a1s_start.argtypes = [p, i64, p, i64, p, p, i64, p, p, p, p,
+                                  p, p, p]
+        lib.a1s_fill.argtypes = [p, p, i64, p, i64, p, p, p, p]
+        lib.a1s_feed.argtypes = [p, p, p, p, p, p, p, p]
+        lib.a1s_finish.restype = i64
+        lib.a1s_finish.argtypes = [p, p, i64, p, p]
+        lib.a1s_free.argtypes = [p]
+        cls._registered = True
+
+    @staticmethod
+    def available() -> bool:
+        lib = _lib()
+        return lib is not None and hasattr(lib, "a1s_start")
+
+    def __init__(self, fm, opt, qs, mems_list, rbegs_list):
+        lib = _lib()
+        assert lib is not None and hasattr(lib, "a1s_start")
+        self._register(lib)
+        self.lib = lib
+        self.n = n = len(qs)
+        self.handle = None
+        pac, contig_offs = _genome_blobs(fm)
+        self._keep = (pac, contig_offs)   # pointers must outlive the session
+        oi, od = _opt_blobs(opt)
+        lens = np.fromiter((len(q) for q in qs), np.int64, n)
+        r_off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=r_off[1:])
+        flat = (np.concatenate([np.ascontiguousarray(q, dtype=np.uint8)
+                                for q in qs])
+                if r_off[-1] else np.zeros(1, np.uint8))
+        m_counts = np.fromiter((len(m) for m in mems_list), np.int64, n)
+        m_off = np.zeros(n + 1, np.int64)
+        np.cumsum(m_counts, out=m_off[1:])
+        if m_off[-1]:
+            mems_flat = np.ascontiguousarray(np.concatenate(
+                [np.asarray(m, np.int64).reshape(-1, 5) if len(m)
+                 else np.zeros((0, 5), np.int64) for m in mems_list]),
+                dtype=np.int64)
+        else:
+            mems_flat = np.zeros((1, 5), np.int64)
+        b_counts = np.fromiter((len(b) for b in rbegs_list), np.int64, n)
+        b_off = np.zeros(n + 1, np.int64)
+        np.cumsum(b_counts, out=b_off[1:])
+        rbegs_flat = (np.ascontiguousarray(
+            np.concatenate([np.asarray(b, np.int64) for b in rbegs_list]))
+            if b_off[-1] else np.zeros(1, np.int64))
+        self.info = np.zeros(4, np.int64)
+        self.handle = lib.a1s_start(
+            pac.ctypes.data, fm.l_pac, contig_offs.ctypes.data,
+            len(contig_offs), flat.ctypes.data, r_off.ctypes.data, n,
+            mems_flat.ctypes.data, m_off.ctypes.data, rbegs_flat.ctypes.data,
+            b_off.ctypes.data, oi.ctypes.data, od.ctypes.data,
+            self.info.ctypes.data)
+
+    def pending(self) -> int:
+        return int(self.info[0])
+
+    def phase(self) -> int:
+        """0 while serving left waves (end bonus pen_clip5), 1 for right
+        (pen_clip3)."""
+        return int(self.info[3])
+
+    def wave_arrays(self, pad_b=None, pad_len=64, q_tiers=None,
+                    t_tiers=None):
+        """(q, qlen, t, tlen, h0, w) padded device-ready arrays.
+
+        B is padded to pad_b(B) (power-of-two bucket by default) and lane
+        dims to multiples of pad_len — or to the given fixed tier lists.
+        Every distinct (Lq, Lt) pair costs one Mosaic kernel compile
+        (minutes over a remote-compile TPU link), so the Pallas path pins
+        dims to 2-3 tiers.
+        """
+        B = int(self.info[0])
+        maxq = max(int(self.info[1]), 1)
+        maxt = max(int(self.info[2]), 1)
+        Lq = _tier(maxq, q_tiers) if q_tiers else -(-maxq // pad_len) * pad_len
+        Lt = _tier(maxt, t_tiers) if t_tiers else -(-maxt // pad_len) * pad_len
+        Bp = pad_b(B) if pad_b else _pow2(B)
+        q = np.zeros((Bp, Lq), np.uint8)
+        t = np.zeros((Bp, Lt), np.uint8)
+        qlen = np.zeros(Bp, np.int32)
+        tlen = np.zeros(Bp, np.int32)
+        h0 = np.zeros(Bp, np.int32)
+        w = np.zeros(Bp, np.int32)
+        self.lib.a1s_fill(self.handle, q.ctypes.data, Lq, t.ctypes.data, Lt,
+                          qlen.ctypes.data, tlen.ctypes.data,
+                          h0.ctypes.data, w.ctypes.data)
+        return q, qlen, t, tlen, h0, w
+
+    def feed(self, score, qle, tle, gtle, gscore, max_off) -> int:
+        """Feed device results (any array-likes, first pending() entries
+        used); returns the next wave size."""
+        B = int(self.info[0])
+        arrs = [np.ascontiguousarray(np.asarray(a)[:B], dtype=np.int32)
+                for a in (score, qle, tle, gtle, gscore, max_off)]
+        self.lib.a1s_feed(self.handle, *(a.ctypes.data for a in arrs),
+                          self.info.ctypes.data)
+        return int(self.info[0])
+
+    def finish(self):
+        """Regions per read (same semantics as align1_batch)."""
+        from .extension import AlnReg
+        n = self.n
+        counts = np.empty(n, np.int64)
+        offs = np.empty(n, np.int64)
+        cap = 64 * n + 64
+        while True:
+            out = np.empty((cap, 14), np.float64)
+            total = self.lib.a1s_finish(self.handle, out.ctypes.data, cap,
+                                        counts.ctypes.data, offs.ctypes.data)
+            if total >= 0:
+                break
+            cap *= 4
+        result = []
+        for i in range(n):
+            o, c = int(offs[i]), int(counts[i])
+            lst = []
+            for k in range(o, o + c):
+                row = out[k]
+                lst.append(AlnReg(
+                    rb=int(row[0]), re=int(row[1]), qb=int(row[2]),
+                    qe=int(row[3]), rid=int(row[4]), score=int(row[5]),
+                    truesc=int(row[6]), sub=int(row[7]), csub=int(row[8]),
+                    seedcov=int(row[9]), w=int(row[10]),
+                    seedlen0=int(row[11]), n_comp=int(row[12]),
+                    frac_rep=float(row[13])))
+            result.append(lst)
+        return result
+
+    def close(self):
+        if self.handle:
+            self.lib.a1s_free(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _pow2(n: int, floor: int = 128) -> int:
+    b = floor
+    while b < n:
+        b <<= 1
+    return b
+
+
+class Reg2AlnSession:
+    """Two-phase mem_reg2aln: C++ ladder/finish + device global-DP waves.
+
+    Same protocol as Align1Session; feed() takes the padded cigar matrix
+    that ksw_cigar_from_ops_batch produces (no per-task Python)."""
+
+    _registered = False
+
+    @classmethod
+    def _register(cls, lib):
+        if cls._registered:
+            return
+        p, i64 = ctypes.c_void_p, ctypes.c_int64
+        lib.r2s_start.restype = p
+        lib.r2s_start.argtypes = [p, i64, p, i64, p, p, p, i64, p, p]
+        lib.r2s_fill.argtypes = [p, p, i64, p, i64, p, p, p]
+        lib.r2s_feed.argtypes = [p, p, p, i64, p, p]
+        lib.r2s_finish.restype = i64
+        lib.r2s_finish.argtypes = [p, p, p, i64]
+        lib.r2s_free.argtypes = [p]
+        cls._registered = True
+
+    @staticmethod
+    def available() -> bool:
+        lib = _lib()
+        return lib is not None and hasattr(lib, "r2s_start")
+
+    def __init__(self, fm, opt, reads, task_rows):
+        """reads: list of code arrays; task_rows: (n, 7) int64
+        [read_idx, qb, qe, rb, re, truesc, reg_w]."""
+        lib = _lib()
+        assert lib is not None and hasattr(lib, "r2s_start")
+        self._register(lib)
+        self.lib = lib
+        self.n = len(task_rows)
+        self.handle = None
+        pac, contig_offs = _genome_blobs(fm)
+        self._keep = (pac, contig_offs)
+        oi, _ = _opt_blobs(opt)
+        m = len(reads)
+        lens = np.fromiter((len(q) for q in reads), np.int64, m)
+        r_off = np.zeros(m + 1, np.int64)
+        np.cumsum(lens, out=r_off[1:])
+        flat = (np.concatenate([np.ascontiguousarray(q, dtype=np.uint8)
+                                for q in reads])
+                if r_off[-1] else np.zeros(1, np.uint8))
+        rows = np.ascontiguousarray(np.asarray(task_rows, np.int64)
+                                    .reshape(-1, 7))
+        self.info = np.zeros(4, np.int64)
+        self.handle = lib.r2s_start(
+            pac.ctypes.data, fm.l_pac, contig_offs.ctypes.data,
+            len(contig_offs), flat.ctypes.data, r_off.ctypes.data,
+            rows.ctypes.data, len(rows), oi.ctypes.data,
+            self.info.ctypes.data)
+
+    def pending(self) -> int:
+        return int(self.info[0])
+
+    def wave_arrays(self, pad_b=None, pad_len=64, q_tiers=None,
+                    t_tiers=None):
+        B = int(self.info[0])
+        maxq = max(int(self.info[1]), 1)
+        maxt = max(int(self.info[2]), 1)
+        Lq = _tier(maxq, q_tiers) if q_tiers else -(-maxq // pad_len) * pad_len
+        Lt = _tier(maxt, t_tiers) if t_tiers else -(-maxt // pad_len) * pad_len
+        Bp = pad_b(B) if pad_b else _pow2(B)
+        q = np.zeros((Bp, Lq), np.uint8)
+        t = np.zeros((Bp, Lt), np.uint8)
+        qlen = np.ones(Bp, np.int32)   # pad lanes: 1-base dummies
+        tlen = np.ones(Bp, np.int32)
+        w = np.ones(Bp, np.int32)
+        self.lib.r2s_fill(self.handle, q.ctypes.data, Lq, t.ctypes.data, Lt,
+                          qlen.ctypes.data, tlen.ctypes.data, w.ctypes.data)
+        return q, qlen, t, tlen, w
+
+    def feed(self, score, cig_mat, nops) -> int:
+        """score int32[B+]; cig_mat (B+, 2*cap) int32 op/len pairs;
+        nops int32[B+]. Only the first pending() rows are consumed."""
+        B = int(self.info[0])
+        score = np.ascontiguousarray(np.asarray(score)[:B], np.int32)
+        cig_mat = np.ascontiguousarray(np.asarray(cig_mat)[:B], np.int32)
+        nops = np.ascontiguousarray(np.asarray(nops)[:B], np.int32)
+        cap = cig_mat.shape[1] // 2
+        self.lib.r2s_feed(self.handle, score.ctypes.data, cig_mat.ctypes.data,
+                          cap, nops.ctypes.data, self.info.ctypes.data)
+        return int(self.info[0])
+
+    def feed_cigar_lists(self, score, cigars) -> int:
+        """Fallback feed from per-task [(op, len), ...] lists."""
+        B = int(self.info[0])
+        cap = max((len(c) for c in cigars[:B]), default=1) + 1
+        mat = np.zeros((B, 2 * cap), np.int32)
+        nops = np.zeros(B, np.int32)
+        for i, c in enumerate(cigars[:B]):
+            nops[i] = len(c)
+            if c:
+                mat[i, :2 * len(c)] = np.asarray(c, np.int32).ravel()
+        return self.feed(score, mat, nops)
+
+    def finish(self):
+        """(meta (n,6) int64, cigar flat int32 pairs): mem_reg2aln_batch
+        format [pos_global, rid, is_rev, NM, n_cigar, cigar_off]."""
+        meta = np.empty((self.n, 6), np.int64)
+        cap = 16 * self.n + 16
+        while True:
+            cig = np.empty(2 * cap, np.int32)
+            total = self.lib.r2s_finish(self.handle, meta.ctypes.data,
+                                        cig.ctypes.data, cap)
+            if total >= 0:
+                break
+            cap *= 4
+        return meta, cig
+
+    def close(self):
+        if self.handle:
+            self.lib.r2s_free(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def _tier(x: int, tiers) -> int:
+    """Smallest tier >= x, or a multiple of the last tier."""
+    for t in tiers:
+        if x <= t:
+            return t
+    last = tiers[-1]
+    return -(-x // last) * last

@@ -258,6 +258,32 @@ def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
     return buf, i, k
 
 
+def cigars_from_ops_raw(ops: np.ndarray, i_fin: np.ndarray,
+                        k_fin: np.ndarray):
+    """Native RLE finish returning the packed ((B, 2*cap) int32 matrix,
+    nops) pair directly — the layout Reg2AlnSession.feed consumes with zero
+    per-task Python. None when the native helper is unavailable."""
+    B, S = ops.shape
+    from ..index.suffix import _load_native
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "ksw_cigar_from_ops_batch"):
+        return None
+    import ctypes
+    o = np.ascontiguousarray(ops, dtype=np.uint8)
+    iv = np.asarray(i_fin, dtype=np.int32)
+    kv = np.asarray(k_fin, dtype=np.int32)
+    cap = S + 2
+    cig = np.empty((B, 2 * cap), dtype=np.int32)
+    nops = np.empty(B, dtype=np.int32)
+    i64 = ctypes.c_int64
+    lib.ksw_cigar_from_ops_batch(
+        ctypes.c_void_p(o.ctypes.data), i64(B), i64(S),
+        ctypes.c_void_p(iv.ctypes.data), ctypes.c_void_p(kv.ctypes.data),
+        ctypes.c_void_p(cig.ctypes.data), i64(cap),
+        ctypes.c_void_p(nops.ctypes.data))
+    return cig, nops
+
+
 def cigars_from_ops(ops: np.ndarray, i_fin: np.ndarray, k_fin: np.ndarray
                     ) -> List[List[Tuple[int, int]]]:
     """Host finish of the device walk: RLE-merge ops + tails, reversed.
@@ -266,22 +292,9 @@ def cigars_from_ops(ops: np.ndarray, i_fin: np.ndarray, k_fin: np.ndarray
     when built.
     """
     B, S = ops.shape
-    from ..index.suffix import _load_native
-    lib = _load_native()
-    if lib is not None and hasattr(lib, "ksw_cigar_from_ops_batch"):
-        import ctypes
-        o = np.ascontiguousarray(ops, dtype=np.uint8)
-        iv = np.asarray(i_fin, dtype=np.int32)
-        kv = np.asarray(k_fin, dtype=np.int32)
-        cap = S + 2
-        cig = np.empty((B, 2 * cap), dtype=np.int32)
-        nops = np.empty(B, dtype=np.int32)
-        i64 = ctypes.c_int64
-        lib.ksw_cigar_from_ops_batch(
-            ctypes.c_void_p(o.ctypes.data), i64(B), i64(S),
-            ctypes.c_void_p(iv.ctypes.data), ctypes.c_void_p(kv.ctypes.data),
-            ctypes.c_void_p(cig.ctypes.data), i64(cap),
-            ctypes.c_void_p(nops.ctypes.data))
+    raw = cigars_from_ops_raw(ops, i_fin, k_fin)
+    if raw is not None:
+        cig, nops = raw
         out = []
         for b in range(B):
             n = int(nops[b])

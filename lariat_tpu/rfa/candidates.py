@@ -15,7 +15,7 @@ import numpy as np
 
 from ..align.engine import AlignmentEngine, EasyAlignment, OP_M, OP_I, OP_D, OP_S
 from ..io.fastq import FastQRecord
-from ..utils.gorand import GoRand
+from ..utils.gorand import FastF64, GoRand
 from .scoring import is_pair, score_alignment
 from .types import Alignment, MapQData
 
@@ -325,7 +325,13 @@ def tag_best_alignments(alignments: List[List[Alignment]],
             seed_u = int.from_bytes(digest[0:8], "little")
             seed = seed_u - (1 << 64) if seed_u >= (1 << 63) else seed_u
         seeds.append(seed)
-    randoms = GoRand.batch(seeds) if seeds else []
+    # few draws per read: precompute a short exact prefix per seed (FastF64
+    # falls back to the full generator for the rare read that outdraws it)
+    if seeds:
+        rows = GoRand.batch_first_floats(seeds, 16)
+        randoms = [FastF64(s, rows[i]) for i, s in enumerate(seeds)]
+    else:
+        randoms = []
     for read_id, arr in enumerate(alignments):
         was_touched = touched[read_id]
         best_score = -float("inf")

@@ -126,6 +126,47 @@ class GoRand:
     """rand.New(rand.NewSource(seed)) value stream."""
 
     @classmethod
+    def batch_first_floats(cls, seeds, k: int = 16) -> np.ndarray:
+        """(n, k) array of each seed's first k Float64 draws, vectorized.
+
+        Bit-identical to ``GoRand(seed).float64()`` streams: the ALFG has no
+        read-after-write collisions in its first 273 steps (draw i reads
+        vec[333-i] and vec[606-i] of the INITIAL state and only writes
+        vec[333-i], which is re-read no sooner than draw i+273), so for
+        k <= 273 each output is a plain elementwise sum over 2k initial
+        slots — 6k chain columns instead of the full 1821-column state.
+        Consumers drawing few values per read (tagBestAlignments draws
+        ~n_aln*n_mate) skip ~100x of the per-read setup. Rows where a draw
+        rounds to 1.0 (Go retries; p ~ 2^-53 per draw) fall back to the
+        sequential generator.
+        """
+        if k > 273:
+            raise ValueError("fast path only valid for k <= 273")
+        cooked = _get_cooked()
+        p = _get_powers()
+        n = len(seeds)
+        s = np.fromiter((int(x) % INT32_MAX for x in seeds), np.int64, n)
+        s[s == 0] = 89482311
+        su = s.astype(np.uint64)
+        i = np.arange(k)
+        slots = np.concatenate([333 - i, 606 - i])            # (2k,)
+        M = np.uint64(INT32_MAX)
+        a = (su[:, None] * p[21 + 3 * slots][None, :]) % M
+        b = (su[:, None] * p[22 + 3 * slots][None, :]) % M
+        c = (su[:, None] * p[23 + 3 * slots][None, :]) % M
+        vec = (((a << np.uint64(40)) ^ (b << np.uint64(20)) ^ c)
+               ^ cooked[slots][None, :])
+        x = vec[:, :k] + vec[:, k:]                # uint64 add wraps mod 2^64
+        f = ((x & np.uint64((1 << 63) - 1)).astype(np.float64)
+             / float(1 << 63))
+        bad = f >= 1.0
+        if bad.any():
+            for r in np.nonzero(bad.any(axis=1))[0]:
+                g = cls(int(seeds[r]))
+                f[r] = [g.float64() for _ in range(k)]
+        return f
+
+    @classmethod
     def batch(cls, seeds) -> list:
         """Vectorized construction of many generators (one chain matmul)."""
         cooked = _get_cooked()
@@ -183,3 +224,29 @@ class GoRand:
             f = self.int63() / (1 << 63)
             if f != 1.0:
                 return f
+
+
+class FastF64:
+    """Sequential Float64 cursor over a precomputed batch_first_floats row;
+    transparently falls back to the full generator past the prefix (exact:
+    the fallback discards exactly the draws already served, so retry
+    consumption stays consistent)."""
+
+    __slots__ = ("seed", "row", "i", "_g")
+
+    def __init__(self, seed: int, row: np.ndarray):
+        self.seed = seed
+        self.row = row
+        self.i = 0
+        self._g = None
+
+    def float64(self) -> float:
+        i = self.i
+        self.i = i + 1
+        if i < len(self.row):
+            return float(self.row[i])
+        if self._g is None:
+            self._g = GoRand(self.seed)
+            for _ in range(len(self.row)):
+                self._g.float64()
+        return self._g.float64()

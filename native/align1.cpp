@@ -277,13 +277,16 @@ void filter_chains(const Opt& o, std::vector<Chain>& chains) {
     if (c.kept != 0) chains.push_back(std::move(c));
 }
 
-// mem_chain2aln
-void chain2aln(const Genome& g, const Opt& o, const uint8_t* q,
-               int64_t l_query, const Chain& c, double frac_rep_unused,
-               std::vector<Reg>& regs, std::vector<uint8_t>& rseq,
-               std::vector<uint8_t>& buf1, std::vector<uint8_t>& buf2) {
-  (void)frac_rep_unused;
-  if (c.seeds.empty()) return;
+// rmax window + rseq fetch + seed sort order for one chain (the geometry
+// that both the sequential and the device-wave paths share)
+struct ChainGeom {
+  int64_t rmax0 = 0, rmax1 = 0;
+  std::vector<uint8_t> rseq;
+  std::vector<int64_t> srt;
+};
+
+void compute_geom(const Genome& g, const Opt& o, int64_t l_query,
+                  const Chain& c, ChainGeom& geom) {
   int64_t l_pac = g.l_pac, seq_len = 2 * l_pac;
   int64_t rmax0 = seq_len, rmax1 = 0;
   for (const Seed& t : c.seeds) {
@@ -299,16 +302,34 @@ void chain2aln(const Genome& g, const Opt& o, const uint8_t* q,
     if (c.seeds[0].rbeg < l_pac) rmax1 = l_pac;
     else rmax0 = l_pac;
   }
-  g.fetch(rmax0, rmax1, rseq);
-
+  geom.rmax0 = rmax0;
+  geom.rmax1 = rmax1;
+  g.fetch(rmax0, rmax1, geom.rseq);
   int64_t n = (int64_t)c.seeds.size();
-  std::vector<int64_t> srt(n);
-  for (int64_t i = 0; i < n; ++i) srt[i] = i;
-  std::sort(srt.begin(), srt.end(), [&](int64_t a, int64_t b) {
+  geom.srt.resize(n);
+  for (int64_t i = 0; i < n; ++i) geom.srt[i] = i;
+  std::sort(geom.srt.begin(), geom.srt.end(), [&](int64_t a, int64_t b) {
     if (c.seeds[a].score != c.seeds[b].score)
       return c.seeds[a].score > c.seeds[b].score;
     return a > b;
   });
+}
+
+// mem_chain2aln control flow with pluggable extension providers: LeftFn /
+// RightFn fill eo[6] = {score, qle, tle, gtle, gscore, max_off} and the
+// final band aw — either by running the ksw ladder inline (sequential path)
+// or by looking up results computed in batched device waves (session path).
+// Extension RESULTS depend only on (seed, window) inputs, never on the
+// skip/conflict decisions, so the two schedules are bit-identical.
+template <class LeftFn, class RightFn>
+void chain2aln_core(const Genome& g, const Opt& o, const uint8_t* q,
+                    int64_t l_query, const Chain& c, const ChainGeom& geom,
+                    std::vector<Reg>& regs, LeftFn left_ext,
+                    RightFn right_ext) {
+  if (c.seeds.empty()) return;
+  int64_t rmax0 = geom.rmax0;
+  const std::vector<int64_t>& srt = geom.srt;
+  int64_t n = (int64_t)c.seeds.size();
   std::vector<char> skipped(n, 0);
   int32_t eo[6];
   for (int64_t si = 0; si < n; ++si) {
@@ -349,22 +370,7 @@ void chain2aln(const Genome& g, const Opt& o, const uint8_t* q,
     a.rid = c.rid;
     int64_t aw0 = o.band_width, aw1 = o.band_width;
     if (s.qbeg) {
-      buf1.assign(q, q + s.qbeg);
-      std::reverse(buf1.begin(), buf1.end());
-      int64_t tmp = s.rbeg - rmax0;
-      buf2.assign(rseq.begin(), rseq.begin() + tmp);
-      std::reverse(buf2.begin(), buf2.end());
-      int64_t prev = -1;
-      for (int i = 0; i < MAX_BAND_TRY; ++i) {
-        aw0 = o.band_width << i;
-        ksw_extend_one(buf1.data(), (int)buf1.size(), buf2.data(),
-                       (int)buf2.size(), o.o_del, o.e_del, o.o_ins, o.e_ins,
-                       (int)aw0, o.pen_clip5, o.zdrop,
-                       (int)(s.len * o.match), o.match, o.mismatch, o.n_sc,
-                       eo);
-        if (eo[0] == prev || eo[5] < (aw0 >> 1) + (aw0 >> 2)) break;
-        prev = eo[0];
-      }
+      left_ext(srt[si], s, eo, &aw0);
       a.score = eo[0];
       if (eo[4] <= 0 || eo[4] <= a.score - o.pen_clip5) {
         a.qb = s.qbeg - eo[1];
@@ -384,16 +390,7 @@ void chain2aln(const Genome& g, const Opt& o, const uint8_t* q,
       int64_t sc0 = a.score;
       int64_t qe = s.qbeg + s.len;
       int64_t re_off = s.rbeg + s.len - rmax0;
-      int64_t prev = -1;
-      for (int i = 0; i < MAX_BAND_TRY; ++i) {
-        aw1 = o.band_width << i;
-        ksw_extend_one(q + qe, (int)(l_query - qe), rseq.data() + re_off,
-                       (int)((int64_t)rseq.size() - re_off), o.o_del,
-                       o.e_del, o.o_ins, o.e_ins, (int)aw1, o.pen_clip3,
-                       o.zdrop, (int)sc0, o.match, o.mismatch, o.n_sc, eo);
-        if (eo[0] == prev || eo[5] < (aw1 >> 1) + (aw1 >> 2)) break;
-        prev = eo[0];
-      }
+      right_ext(srt[si], s, sc0, eo, &aw1);
       a.score = eo[0];
       if (eo[4] <= 0 || eo[4] <= a.score - o.pen_clip3) {
         a.qe = qe + eo[1];
@@ -417,6 +414,51 @@ void chain2aln(const Genome& g, const Opt& o, const uint8_t* q,
     a.seedlen0 = s.len;
     regs.push_back(a);
   }
+}
+
+// sequential mem_chain2aln: providers run the ksw band ladder inline
+void chain2aln(const Genome& g, const Opt& o, const uint8_t* q,
+               int64_t l_query, const Chain& c, double frac_rep_unused,
+               std::vector<Reg>& regs, std::vector<uint8_t>& rseq_scratch,
+               std::vector<uint8_t>& buf1, std::vector<uint8_t>& buf2) {
+  (void)frac_rep_unused;
+  (void)rseq_scratch;
+  if (c.seeds.empty()) return;
+  ChainGeom geom;
+  compute_geom(g, o, l_query, c, geom);
+  auto left = [&](int64_t, const Seed& s, int32_t* eo, int64_t* aw) {
+    buf1.assign(q, q + s.qbeg);
+    std::reverse(buf1.begin(), buf1.end());
+    int64_t tmp = s.rbeg - geom.rmax0;
+    buf2.assign(geom.rseq.begin(), geom.rseq.begin() + tmp);
+    std::reverse(buf2.begin(), buf2.end());
+    int64_t prev = -1;
+    for (int i = 0; i < MAX_BAND_TRY; ++i) {
+      *aw = o.band_width << i;
+      ksw_extend_one(buf1.data(), (int)buf1.size(), buf2.data(),
+                     (int)buf2.size(), o.o_del, o.e_del, o.o_ins, o.e_ins,
+                     (int)*aw, o.pen_clip5, o.zdrop,
+                     (int)(s.len * o.match), o.match, o.mismatch, o.n_sc, eo);
+      if (eo[0] == prev || eo[5] < (*aw >> 1) + (*aw >> 2)) break;
+      prev = eo[0];
+    }
+  };
+  auto right = [&](int64_t, const Seed& s, int64_t sc0, int32_t* eo,
+                   int64_t* aw) {
+    int64_t qe = s.qbeg + s.len;
+    int64_t re_off = s.rbeg + s.len - geom.rmax0;
+    int64_t prev = -1;
+    for (int i = 0; i < MAX_BAND_TRY; ++i) {
+      *aw = o.band_width << i;
+      ksw_extend_one(q + qe, (int)(l_query - qe), geom.rseq.data() + re_off,
+                     (int)((int64_t)geom.rseq.size() - re_off), o.o_del,
+                     o.e_del, o.o_ins, o.e_ins, (int)*aw, o.pen_clip3,
+                     o.zdrop, (int)sc0, o.match, o.mismatch, o.n_sc, eo);
+      if (eo[0] == prev || eo[5] < (*aw >> 1) + (*aw >> 2)) break;
+      prev = eo[0];
+    }
+  };
+  chain2aln_core(g, o, q, l_query, c, geom, regs, left, right);
 }
 
 // mem_patch_reg; returns true + (w, score) when mergeable
@@ -842,5 +884,580 @@ void gorand_chain_batch(const int64_t* seeds, int64_t n,
       row[k] = (s * powers[k]) % M;
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Two-phase mem_align1 session: the chain/filter/skip/dedup control flow runs
+// here (C++), while every banded-SW extension is exported as one entry of a
+// batched DEVICE wave (the TPU Pallas kernel computes them; the caller feeds
+// the results back). This replaces the Python per-seed replay that made
+// device priming lose end-to-end (VERDICT r1 item 1): extension RESULTS
+// depend only on (seed, window) inputs — never on skip decisions — so waves
+// can run speculatively for every seed and the sequential control flow
+// replays bit-identically from cached results.
+//
+// Protocol (ctypes):
+//   h = a1s_start(...)            -> fills wave_info[3] = {n_tasks, maxq, maxt}
+//   while wave_info[0] > 0:
+//       a1s_fill(h, bufs...)      -> caller runs the device extend kernel
+//       a1s_feed(h, results...)   -> refills wave_info (ladder retries, then
+//                                    the right-extension wave, then 0)
+//   a1s_finish(h, out...)         -> mem_align1_batch-format regions
+//   a1s_free(h)
+
+namespace {
+
+struct SeedExt {
+  int32_t l_eo[6] = {0, 0, 0, 0, 0, 0};
+  int32_t r_eo[6] = {0, 0, 0, 0, 0, 0};
+  int64_t aw0 = 0, aw1 = 0;
+  int64_t prev_l = -1, prev_r = -1;  // ladder break uses prev = -1, matching
+                                     // the sequential path above
+  int lvl_l = 0, lvl_r = 0;
+  int64_t sc0 = 0;                   // h0 entering the right ladder
+};
+
+struct SessChain {
+  Chain chain;
+  ChainGeom geom;
+  std::vector<SeedExt> ext;
+};
+
+struct SessRead {
+  int64_t q_off = 0, l_query = 0;
+  double frac_rep = 0.0;
+  std::vector<SessChain> chains;
+};
+
+struct Task {
+  int32_t read, chain, seed;
+  uint8_t side;  // 0 = left, 1 = right
+};
+
+struct Session {
+  Genome g;                             // pac not owned; caller keeps alive
+  Opt o;
+  std::vector<int64_t> contig_offs;
+  std::vector<uint8_t> reads;           // flat read codes (owned copy)
+  std::vector<SessRead> rd;
+  std::vector<Task> wave;
+  int phase = 0;                        // 0 = left ladders, 1 = right ladders
+
+  const uint8_t* q_of(const Task& t) const {
+    return reads.data() + rd[t.read].q_off;
+  }
+  void task_dims(const Task& t, int64_t* ql, int64_t* tl) const {
+    const SessChain& sc = rd[t.read].chains[t.chain];
+    const Seed& s = sc.chain.seeds[t.seed];
+    if (t.side == 0) {
+      *ql = s.qbeg;
+      *tl = s.rbeg - sc.geom.rmax0;
+    } else {
+      *ql = rd[t.read].l_query - (s.qbeg + s.len);
+      *tl = (int64_t)sc.geom.rseq.size() - (s.rbeg + s.len - sc.geom.rmax0);
+    }
+  }
+  void wave_info(int64_t* info) const {
+    int64_t maxq = 0, maxt = 0;
+    for (const Task& t : wave) {
+      int64_t ql, tl;
+      task_dims(t, &ql, &tl);
+      maxq = std::max(maxq, ql);
+      maxt = std::max(maxt, tl);
+    }
+    info[0] = (int64_t)wave.size();
+    info[1] = maxq;
+    info[2] = maxt;
+    info[3] = phase;  // 0: left wave (end bonus pen_clip5); 1: right
+                      // (pen_clip3) — waves never mix sides
+  }
+  void emit_right() {
+    phase = 1;
+    for (int32_t r = 0; r < (int32_t)rd.size(); ++r) {
+      for (int32_t ci = 0; ci < (int32_t)rd[r].chains.size(); ++ci) {
+        SessChain& sc = rd[r].chains[ci];
+        for (int32_t si = 0; si < (int32_t)sc.chain.seeds.size(); ++si) {
+          const Seed& s = sc.chain.seeds[si];
+          if (s.qbeg + s.len == rd[r].l_query) continue;
+          SeedExt& e = sc.ext[si];
+          // sc0: the left outcome's LOCAL max (score branch), or the pure
+          // seed score when there was no left segment — exactly what the
+          // sequential flow feeds ksw as h0
+          e.sc0 = s.qbeg ? e.l_eo[0] : s.len * o.match;
+          wave.push_back(Task{r, ci, si, 1});
+        }
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* a1s_start(
+    const uint8_t* pac, int64_t l_pac, const int64_t* contig_offs,
+    int64_t n_contigs, const uint8_t* reads_flat,
+    const int64_t* read_offsets, int64_t n_reads, const int64_t* mems_flat,
+    const int64_t* mem_offsets, const int64_t* rbegs_flat,
+    const int64_t* rbeg_offsets, const int64_t* oi, const double* od,
+    int64_t* wave_info) {
+  Session* S = new Session();
+  S->contig_offs.assign(contig_offs, contig_offs + n_contigs);
+  S->g = Genome{pac, l_pac, S->contig_offs.data(), n_contigs};
+  Opt& o = S->o;
+  o.match = (int)oi[0];
+  o.mismatch = (int)oi[1];
+  o.n_sc = (int)oi[2];
+  o.o_del = (int)oi[3];
+  o.e_del = (int)oi[4];
+  o.o_ins = (int)oi[5];
+  o.e_ins = (int)oi[6];
+  o.pen_clip5 = (int)oi[7];
+  o.pen_clip3 = (int)oi[8];
+  o.zdrop = (int)oi[9];
+  o.band_width = oi[10];
+  o.max_chain_gap = oi[11];
+  o.max_occ = oi[12];
+  o.min_seed_len = oi[13];
+  o.min_chain_weight = oi[14];
+  o.max_chain_extend = oi[15];
+  o.mask_level = od[0];
+  o.mask_level_redun = od[1];
+  o.drop_ratio = od[2];
+
+  S->reads.assign(reads_flat, reads_flat + read_offsets[n_reads]);
+  S->rd.resize(n_reads);
+  std::vector<Chain> chains;
+  for (int64_t r = 0; r < n_reads; ++r) {
+    SessRead& sr = S->rd[r];
+    sr.q_off = read_offsets[r];
+    sr.l_query = read_offsets[r + 1] - read_offsets[r];
+    if (sr.l_query == 0) continue;
+    const int64_t* mems = mems_flat + mem_offsets[r] * 5;
+    int64_t n_mems = mem_offsets[r + 1] - mem_offsets[r];
+    const int64_t* rbegs = rbegs_flat + rbeg_offsets[r];
+    int64_t n_rbegs = rbeg_offsets[r + 1] - rbeg_offsets[r];
+    chain_seeds(S->g, o, sr.l_query, mems, n_mems, rbegs, n_rbegs, chains,
+                &sr.frac_rep);
+    filter_chains(o, chains);
+    sr.chains.resize(chains.size());
+    for (size_t ci = 0; ci < chains.size(); ++ci) {
+      SessChain& sc = sr.chains[ci];
+      sc.chain = std::move(chains[ci]);
+      compute_geom(S->g, o, sr.l_query, sc.chain, sc.geom);
+      sc.ext.resize(sc.chain.seeds.size());
+      // speculative LEFT wave for every seed with a left segment
+      for (int32_t si = 0; si < (int32_t)sc.chain.seeds.size(); ++si)
+        if (sc.chain.seeds[si].qbeg)
+          S->wave.push_back(Task{(int32_t)r, (int32_t)ci, si, 0});
+    }
+  }
+  if (S->wave.empty()) S->emit_right();
+  S->wave_info(wave_info);
+  return S;
+}
+
+// Fill the current wave's padded task buffers. qbuf/tbuf are (n, qstride) /
+// (n, tstride) uint8, caller-zeroed; h0/w/qlen/tlen are int32[n].
+void a1s_fill(void* h, uint8_t* qbuf, int64_t qstride, uint8_t* tbuf,
+              int64_t tstride, int32_t* qlen, int32_t* tlen, int32_t* h0,
+              int32_t* w) {
+  Session* S = (Session*)h;
+  for (size_t i = 0; i < S->wave.size(); ++i) {
+    const Task& t = S->wave[i];
+    const SessChain& sc = S->rd[t.read].chains[t.chain];
+    const Seed& s = sc.chain.seeds[t.seed];
+    const SeedExt& e = sc.ext[t.seed];
+    const uint8_t* q = S->q_of(t);
+    int64_t ql, tl;
+    S->task_dims(t, &ql, &tl);
+    qlen[i] = (int32_t)ql;
+    tlen[i] = (int32_t)tl;
+    if (t.side == 0) {
+      for (int64_t k = 0; k < ql; ++k)           // reversed query prefix
+        qbuf[i * qstride + k] = q[s.qbeg - 1 - k];
+      int64_t off = s.rbeg - sc.geom.rmax0;
+      for (int64_t k = 0; k < tl; ++k)           // reversed target prefix
+        tbuf[i * tstride + k] = sc.geom.rseq[off - 1 - k];
+      h0[i] = (int32_t)(s.len * S->o.match);
+      w[i] = (int32_t)(S->o.band_width << e.lvl_l);
+    } else {
+      int64_t qe = s.qbeg + s.len;
+      for (int64_t k = 0; k < ql; ++k)
+        qbuf[i * qstride + k] = q[qe + k];
+      int64_t off = s.rbeg + s.len - sc.geom.rmax0;
+      for (int64_t k = 0; k < tl; ++k)
+        tbuf[i * tstride + k] = sc.geom.rseq[off + k];
+      h0[i] = (int32_t)e.sc0;
+      w[i] = (int32_t)(S->o.band_width << e.lvl_r);
+    }
+  }
+}
+
+// Feed the device results for the current wave; computes the next wave
+// (ladder escalations, then the right wave) and refills wave_info.
+void a1s_feed(void* h, const int32_t* score, const int32_t* qle,
+              const int32_t* tle, const int32_t* gtle, const int32_t* gscore,
+              const int32_t* moff, int64_t* wave_info) {
+  Session* S = (Session*)h;
+  std::vector<Task> next;
+  for (size_t i = 0; i < S->wave.size(); ++i) {
+    const Task& t = S->wave[i];
+    SessChain& sc = S->rd[t.read].chains[t.chain];
+    SeedExt& e = sc.ext[t.seed];
+    int32_t eo[6] = {score[i], qle[i], tle[i], gtle[i], gscore[i], moff[i]};
+    if (t.side == 0) {
+      for (int k = 0; k < 6; ++k) e.l_eo[k] = eo[k];
+      int64_t aw = S->o.band_width << e.lvl_l;
+      e.aw0 = aw;
+      if (!(eo[0] == e.prev_l || eo[5] < (aw >> 1) + (aw >> 2))
+          && e.lvl_l + 1 < MAX_BAND_TRY) {
+        e.prev_l = eo[0];
+        e.lvl_l += 1;
+        next.push_back(t);
+      }
+    } else {
+      for (int k = 0; k < 6; ++k) e.r_eo[k] = eo[k];
+      int64_t aw = S->o.band_width << e.lvl_r;
+      e.aw1 = aw;
+      if (!(eo[0] == e.prev_r || eo[5] < (aw >> 1) + (aw >> 2))
+          && e.lvl_r + 1 < MAX_BAND_TRY) {
+        e.prev_r = eo[0];
+        e.lvl_r += 1;
+        next.push_back(t);
+      }
+    }
+  }
+  S->wave = std::move(next);
+  if (S->wave.empty() && S->phase == 0) S->emit_right();
+  S->wave_info(wave_info);
+}
+
+// Replay the sequential control flow from the cached wave results and emit
+// mem_align1_batch-format rows. Idempotent (retry with a larger cap on -1).
+int64_t a1s_finish(void* h, double* out, int64_t cap, int64_t* counts,
+                   int64_t* offs) {
+  Session* S = (Session*)h;
+  const Opt& o = S->o;
+  int64_t total = 0;
+  std::vector<Reg> regs;
+  std::vector<uint8_t> rseq;
+  for (int64_t r = 0; r < (int64_t)S->rd.size(); ++r) {
+    SessRead& sr = S->rd[r];
+    offs[r] = total;
+    counts[r] = 0;
+    if (sr.l_query == 0) continue;
+    const uint8_t* q = S->reads.data() + sr.q_off;
+    regs.clear();
+    for (SessChain& sc : sr.chains) {
+      auto left = [&](int64_t si, const Seed&, int32_t* eo, int64_t* aw) {
+        const SeedExt& e = sc.ext[si];
+        for (int k = 0; k < 6; ++k) eo[k] = e.l_eo[k];
+        *aw = e.aw0;
+      };
+      auto right = [&](int64_t si, const Seed&, int64_t, int32_t* eo,
+                       int64_t* aw) {
+        const SeedExt& e = sc.ext[si];
+        for (int k = 0; k < 6; ++k) eo[k] = e.r_eo[k];
+        *aw = e.aw1;
+      };
+      chain2aln_core(S->g, o, q, sr.l_query, sc.chain, sc.geom, regs, left,
+                     right);
+    }
+    sort_dedup_patch(S->g, o, q, regs, rseq);
+    if (total + (int64_t)regs.size() > cap) return -1;
+    for (const Reg& p : regs) {
+      double* row = out + total * 14;
+      row[0] = (double)p.rb;
+      row[1] = (double)p.re;
+      row[2] = (double)p.qb;
+      row[3] = (double)p.qe;
+      row[4] = (double)p.rid;
+      row[5] = (double)p.score;
+      row[6] = (double)p.truesc;
+      row[7] = (double)p.sub;
+      row[8] = (double)p.csub;
+      row[9] = (double)p.seedcov;
+      row[10] = (double)p.w;
+      row[11] = (double)p.seedlen0;
+      row[12] = (double)p.n_comp;
+      row[13] = sr.frac_rep;
+      ++total;
+    }
+    counts[r] = (int64_t)regs.size();
+  }
+  return total;
+}
+
+void a1s_free(void* h) { delete (Session*)h; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Two-phase mem_reg2aln session: the w2 band ladder + NM/clip finishing run
+// here; the banded global DP + traceback run as device waves (Pallas global
+// kernel + on-device traceback; the caller feeds back scores and RLE'd
+// cigars from ksw_cigar_from_ops_batch). Bit-identical to mem_reg2aln_batch
+// (fuzz-asserted): the DP inputs (qbuf, rseq, w2) never depend on other
+// tasks, only the ladder schedule changes.
+
+namespace {
+
+struct R2Task {
+  int64_t qb = 0, qe = 0, rb = 0, re = 0, truesc = 0;
+  int64_t l_full = 0;
+  std::vector<uint8_t> qbuf, rseq;   // oriented once (reversed when rb>=l_pac)
+  int64_t w2 = 0, last_sc = -((int64_t)1 << 30);
+  int iter = 0;
+  int64_t score = 0;
+  std::vector<int32_t> cig;
+  bool have_cigar = false, degenerate = false, shortcut = false;
+};
+
+struct R2Session {
+  Genome g;
+  std::vector<int64_t> contig_offs;
+  int match, mismatch, n_sc, o_del, e_del, o_ins, e_ins;
+  int64_t band_width;
+  std::vector<R2Task> tasks;
+  std::vector<int64_t> wave;   // indices of tasks awaiting device results
+
+  // ladder break conditions given the just-computed score; returns true
+  // when the task is final (mirrors mem_reg2aln_batch's while loop tail)
+  bool advance(R2Task& t) {
+    if (t.score == t.last_sc || t.w2 == band_width << 2) return true;
+    t.last_sc = t.score;
+    t.w2 <<= 1;
+    ++t.iter;
+    return !(t.iter < 3 && t.score < t.truesc - match);
+  }
+
+  // score the no-DP / degenerate variants synchronously; returns true when
+  // the task never needs the device
+  bool sync_gen(R2Task& t) {
+    t.w2 = std::min(t.w2, band_width << 2);
+    if (t.degenerate) {
+      t.score = 0;
+      t.have_cigar = false;
+      t.cig.clear();
+      return true;
+    }
+    if (t.shortcut && t.w2 == 0) {
+      int64_t l_query = t.qe - t.qb;
+      t.score = 0;
+      for (int64_t k = 0; k < l_query; ++k)
+        t.score += score_sub_pub(t.qbuf[k], t.rseq[k], match, mismatch, n_sc);
+      t.cig.assign({0, (int32_t)l_query});
+      t.have_cigar = true;
+      return true;
+    }
+    return false;
+  }
+
+  void run_sync(R2Task& t) {
+    // degenerate / shortcut ladders terminate without device work
+    while (true) {
+      sync_gen(t);
+      if (advance(t)) break;
+    }
+  }
+
+  void wave_info(int64_t* info) const {
+    int64_t maxq = 0, maxt = 0;
+    for (int64_t ti : wave) {
+      maxq = std::max(maxq, (int64_t)tasks[ti].qbuf.size());
+      maxt = std::max(maxt, (int64_t)tasks[ti].rseq.size());
+    }
+    info[0] = (int64_t)wave.size();
+    info[1] = maxq;
+    info[2] = maxt;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* r2s_start(const uint8_t* pac, int64_t l_pac, const int64_t* contig_offs,
+                int64_t n_contigs, const uint8_t* reads_flat,
+                const int64_t* read_offsets, const int64_t* task_rows,
+                int64_t n_tasks, const int64_t* oi, int64_t* wave_info) {
+  R2Session* S = new R2Session();
+  S->contig_offs.assign(contig_offs, contig_offs + n_contigs);
+  S->g = Genome{pac, l_pac, S->contig_offs.data(), n_contigs};
+  S->match = (int)oi[0];
+  S->mismatch = (int)oi[1];
+  S->n_sc = (int)oi[2];
+  S->o_del = (int)oi[3];
+  S->e_del = (int)oi[4];
+  S->o_ins = (int)oi[5];
+  S->e_ins = (int)oi[6];
+  S->band_width = oi[10];
+
+  auto infer_bw = [&](int64_t l1, int64_t l2, int64_t score, int q_pen,
+                      int r_pen) -> int64_t {
+    if (l1 == l2
+        && l1 * S->match - score < (int64_t)(q_pen + r_pen - S->match) << 1)
+      return 0;
+    int64_t w = (int64_t)((double)(std::min(l1, l2) * S->match - score - q_pen)
+                          / r_pen + 2.0);
+    return std::max(w, (int64_t)std::llabs(l1 - l2));
+  };
+
+  S->tasks.resize(n_tasks);
+  for (int64_t t = 0; t < n_tasks; ++t) {
+    const int64_t* tk = task_rows + t * 7;
+    R2Task& T = S->tasks[t];
+    int64_t ridx = tk[0];
+    T.qb = tk[1];
+    T.qe = tk[2];
+    T.rb = tk[3];
+    T.re = tk[4];
+    T.truesc = tk[5];
+    int64_t reg_w = tk[6];
+    const uint8_t* read = reads_flat + read_offsets[ridx];
+    T.l_full = read_offsets[ridx + 1] - read_offsets[ridx];
+    int64_t l_query = T.qe - T.qb;
+    T.w2 = std::max(infer_bw(l_query, T.re - T.rb, T.truesc, S->o_del,
+                             S->e_del),
+                    infer_bw(l_query, T.re - T.rb, T.truesc, S->o_ins,
+                             S->e_ins));
+    if (T.w2 > S->band_width) T.w2 = std::min(T.w2, reg_w);
+    T.degenerate = (l_query <= 0 || T.rb >= T.re
+                    || (T.rb < l_pac && l_pac < T.re));
+    if (!T.degenerate) {
+      S->g.fetch(T.rb, T.re, T.rseq);
+      T.qbuf.assign(read + T.qb, read + T.qe);
+      if (T.rb >= l_pac) {
+        std::reverse(T.qbuf.begin(), T.qbuf.end());
+        std::reverse(T.rseq.begin(), T.rseq.end());
+      }
+      T.shortcut = (l_query == T.re - T.rb);
+    }
+    T.w2 = std::min(T.w2, S->band_width << 2);
+    if (T.degenerate || (T.shortcut && T.w2 == 0)) {
+      S->run_sync(T);
+    } else {
+      S->wave.push_back(t);
+    }
+  }
+  S->wave_info(wave_info);
+  return S;
+}
+
+void r2s_fill(void* h, uint8_t* qbuf, int64_t qstride, uint8_t* tbuf,
+              int64_t tstride, int32_t* qlen, int32_t* tlen, int32_t* w) {
+  R2Session* S = (R2Session*)h;
+  for (size_t i = 0; i < S->wave.size(); ++i) {
+    const R2Task& T = S->tasks[S->wave[i]];
+    qlen[i] = (int32_t)T.qbuf.size();
+    tlen[i] = (int32_t)T.rseq.size();
+    w[i] = (int32_t)T.w2;
+    std::copy(T.qbuf.begin(), T.qbuf.end(), qbuf + i * qstride);
+    std::copy(T.rseq.begin(), T.rseq.end(), tbuf + i * tstride);
+  }
+}
+
+// scores int32[n]; cig int32 (n, 2*cap) op/len pairs; nops int32[n]
+void r2s_feed(void* h, const int32_t* score, const int32_t* cig,
+              int64_t cig_cap, const int32_t* nops, int64_t* wave_info) {
+  R2Session* S = (R2Session*)h;
+  std::vector<int64_t> next;
+  for (size_t i = 0; i < S->wave.size(); ++i) {
+    R2Task& T = S->tasks[S->wave[i]];
+    T.score = score[i];
+    int32_t n = nops[i];
+    if (n > 0) {
+      T.cig.assign(cig + i * 2 * cig_cap, cig + i * 2 * cig_cap + 2 * n);
+      T.have_cigar = true;
+    } else {
+      T.cig.clear();
+      T.have_cigar = false;
+    }
+    if (!S->advance(T)) {
+      // stays a device task (degenerate/shortcut never enter the wave, and
+      // escalation keeps w2 > 0); clamp like the sequential loop top
+      T.w2 = std::min(T.w2, S->band_width << 2);
+      next.push_back(S->wave[i]);
+    }
+  }
+  S->wave = std::move(next);
+  S->wave_info(wave_info);
+}
+
+int64_t r2s_finish(void* h, int64_t* meta_out, int32_t* cigar_out,
+                   int64_t cigar_cap) {
+  R2Session* S = (R2Session*)h;
+  int64_t l_pac = S->g.l_pac, seq_len = 2 * l_pac;
+  int64_t cig_total = 0;
+  std::vector<int32_t> cig;
+  for (size_t t = 0; t < S->tasks.size(); ++t) {
+    R2Task& T = S->tasks[t];
+    int64_t* m = meta_out + t * 6;
+    // NM walk over the final cigar
+    int64_t NM = -1;
+    if (T.have_cigar) {
+      int64_t n_mm = 0, n_gap = 0, x = 0, y = 0;
+      int64_t n_ops = (int64_t)T.cig.size() / 2;
+      for (int64_t k = 0; k < n_ops; ++k) {
+        int op = T.cig[2 * k], ln = T.cig[2 * k + 1];
+        if (op == 0) {
+          for (int64_t u = 0; u < ln; ++u)
+            if (T.qbuf[x + u] != T.rseq[y + u]) ++n_mm;
+          x += ln;
+          y += ln;
+        } else if (op == 2) {
+          if (k > 0 && k < n_ops - 1) n_gap += ln;
+          y += ln;
+        } else if (op == 1) {
+          x += ln;
+          n_gap += ln;
+        }
+      }
+      NM = n_mm + n_gap;
+    }
+    cig = T.cig;
+    int64_t dpos = T.rb < l_pac ? T.rb : T.re - 1;
+    bool is_rev = dpos >= l_pac;
+    int64_t pos = is_rev ? seq_len - 1 - dpos : dpos;
+    if (!cig.empty()) {
+      if (cig[0] == 2) {
+        pos += cig[1];
+        cig.erase(cig.begin(), cig.begin() + 2);
+      } else if (cig[cig.size() - 2] == 2) {
+        cig.resize(cig.size() - 2);
+      }
+    }
+    if (T.qb != 0 || T.qe != T.l_full) {
+      int64_t clip5 = is_rev ? T.l_full - T.qe : T.qb;
+      int64_t clip3 = is_rev ? T.qb : T.l_full - T.qe;
+      if (clip5 > 0) {
+        cig.insert(cig.begin(), (int32_t)clip5);
+        cig.insert(cig.begin(), 3);
+      }
+      if (clip3 > 0) {
+        cig.push_back(3);
+        cig.push_back((int32_t)clip3);
+      }
+    }
+    int rid = S->g.pos_to_contig(pos);
+    int64_t n_pairs = (int64_t)cig.size() / 2;
+    if (cig_total + n_pairs > cigar_cap) return -1;
+    for (size_t k = 0; k < cig.size(); ++k)
+      cigar_out[cig_total * 2 + k] = cig[k];
+    m[0] = pos;
+    m[1] = rid;
+    m[2] = is_rev ? 1 : 0;
+    m[3] = NM;
+    m[4] = n_pairs;
+    m[5] = cig_total;
+    cig_total += n_pairs;
+  }
+  return cig_total;
+}
+
+void r2s_free(void* h) { delete (R2Session*)h; }
 
 }  // extern "C"

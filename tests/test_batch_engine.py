@@ -122,3 +122,47 @@ def test_reg2aln_batch_pallas_interpret(dup_genome, monkeypatch):  # noqa: F811
     got = batch.reg2aln_batch(tasks)
     for (seq, reg), g in zip(tasks, got):
         assert g == host.reg2aln(seq, reg), (seq, reg)
+
+
+def test_session_path_fuzz_1k(dup_genome):  # noqa: F811
+    """Device-wave candidate generation (C++ session + batched extends) must
+    equal sequential host align1 on 1k random mutated reads (VERDICT r1 item
+    4 'Done' criterion), and equal the Python replay path."""
+    from lariat_tpu.align import native_engine
+    if not native_engine.Align1Session.available():
+        pytest.skip("native session unavailable")
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=False)
+    rng = np.random.default_rng(97)
+    seqs = _reads(genome, rng, n=1000)
+    got = batch._align_batch_session(seqs)
+    assert got is not None
+    pyr = batch._align_batch_python(seqs)
+    for i, seq in enumerate(seqs):
+        want = host.align1(encode_read(seq))
+        assert [dataclasses.astuple(r) for r in got[i]] == \
+               [dataclasses.astuple(r) for r in want], (i, seq)
+        assert [dataclasses.astuple(r) for r in pyr[i]] == \
+               [dataclasses.astuple(r) for r in want], ("python-replay", i)
+
+
+def test_reg2aln_session_fuzz(dup_genome):  # noqa: F811
+    """reg2aln session (C++ ladder + device waves) vs sequential host on a
+    few hundred messy tasks."""
+    from lariat_tpu.align import native_engine
+    if not native_engine.Reg2AlnSession.available():
+        pytest.skip("native session unavailable")
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=False)
+    rng = np.random.default_rng(113)
+    seqs = _reads(genome, rng, n=150)
+    tasks = []
+    for seq in seqs:
+        for reg in host.align1(encode_read(seq)):
+            tasks.append((seq, reg))
+    got = batch._reg2aln_session(tasks)
+    assert got is not None
+    for i, ((seq, reg), g) in enumerate(zip(tasks, got)):
+        assert g == host.reg2aln(seq, reg), (i, seq)
