@@ -31,15 +31,20 @@ from .extension import AlnReg, chain2aln, sort_dedup_patch
 OP_M, OP_I, OP_D, OP_S, OP_H = 0, 1, 2, 3, 4
 
 
-@functools.lru_cache(maxsize=8192)
+# one bytes.translate call beats the numpy table gather ~2.5x at read length
+_NT4_TRANS = bytes.maketrans(bytes(range(256)), NT4_TABLE.tobytes())
+
+
+@functools.lru_cache(maxsize=65536)
 def encode_read(seq: bytes) -> np.ndarray:
     """ASCII -> nt4 codes (A0 C1 G2 T3, other 4).
 
-    Memoized (reads are encoded several times along the pipeline); the
-    returned array is marked read-only so accidental mutation of the shared
-    cache entry fails loudly.
+    Memoized (reads are encoded several times along the pipeline; the cache
+    must cover the reader's 30,000-record barcode cap x2 mates or it
+    thrashes); the returned array is read-only so accidental mutation of the
+    shared cache entry fails loudly.
     """
-    arr = NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)].copy()
+    arr = np.frombuffer(seq.translate(_NT4_TRANS), dtype=np.uint8)
     arr.setflags(write=False)
     return arr
 

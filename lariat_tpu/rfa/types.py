@@ -63,7 +63,7 @@ class SwapOrderedMap:
         return key in self._index
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class MapQData:
     """Second-best metadata recorded for debugging tags (lariat.go:150-163)."""
     copies: int = 0
@@ -80,7 +80,7 @@ class MapQData:
     second_best_molecule_confidence: float = -1.0
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class Alignment:
     """Candidate alignment of one read (lariat.go:68-117)."""
     id: int = 0                      # hit id, unique within the barcode
