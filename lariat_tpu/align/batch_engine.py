@@ -489,11 +489,28 @@ class BatchAlignmentEngine(AlignmentEngine):
             out.append(regs)
         return out
 
-    def prime_regions(self, recs) -> List[Tuple[list, list]]:
-        """Device-batch candidate regions for many read pairs (no rescue).
+    def local_align_device(self, tasks):
+        """Device-batched mate-rescue local SW (two waves incl. the reversed
+        start-coordinate pass); bit-identical to per-task ksw.local_align."""
+        from .ksw import local_align_batch
+        opt = self.opt
+        return local_align_batch(
+            [(rev.astype(np.int64), ref.astype(np.int64))
+             for rev, ref in tasks],
+            self.mat, opt.gap_open_del, opt.gap_extend_del,
+            opt.gap_open_ins, opt.gap_extend_ins,
+            opt.min_seed_len * opt.match_score,
+            backend="pallas" if self.use_pallas else "xla",
+            q_tiers=(192, 768), t_tiers=(704, 1408))
 
-        Returns per-pair (regs1, regs2) suitable for shipping to worker
-        processes, which run finish_pair (mate rescue) + RFA there.
+    def prime_regions(self, recs, score_delta: Optional[int] = None
+                      ) -> List[tuple]:
+        """Device-batch candidate regions for many read pairs.
+
+        With ``score_delta`` given, mate rescue also runs here (DP batched on
+        device via rescue_pairs_batch) and the returned per-pair tuples are
+        (regs1, regs2, True) — workers then interpret without re-rescuing.
+        Without it, returns (regs1, regs2) and workers rescue on host.
         """
         from .engine import encode_read
         seqs = []
@@ -501,11 +518,17 @@ class BatchAlignmentEngine(AlignmentEngine):
             seqs.append(rec.read1)
             seqs.append(rec.read2)
         all_regs = self.align_batch(seqs)
-        out = []
+        per_pair = []
         for i, rec in enumerate(recs):
-            out.append((all_regs[2 * i] if len(rec.read1) else [],
-                        all_regs[2 * i + 1] if len(rec.read2) else []))
-        return out
+            per_pair.append((all_regs[2 * i] if len(rec.read1) else [],
+                             all_regs[2 * i + 1] if len(rec.read2) else []))
+        if score_delta is None:
+            return per_pair
+        pairs = [(encode_read(rec.read1), encode_read(rec.read2), r1, r2)
+                 for rec, (r1, r2) in zip(recs, per_pair)]
+        self.rescue_pairs_batch(pairs, score_delta,
+                                local_align_fn=self.local_align_device)
+        return [(r1, r2, True) for r1, r2 in per_pair]
 
     def prime_pairs(self, recs, score_delta: int) -> None:
         """Device-batch candidate generation for many reads (across
@@ -517,16 +540,21 @@ class BatchAlignmentEngine(AlignmentEngine):
             seqs.append(rec.read1)
             seqs.append(rec.read2)
         all_regs = self.align_batch(seqs)
+        pairs = []
+        for i, rec in enumerate(recs):
+            q1 = encode_read(rec.read1)
+            q2 = encode_read(rec.read2)
+            pairs.append((q1, q2, all_regs[2 * i] if len(q1) else [],
+                          all_regs[2 * i + 1] if len(q2) else []))
+        self.rescue_pairs_batch(pairs, score_delta,
+                                local_align_fn=self.local_align_device)
         cache = getattr(self, "_pair_cache", None)
         if cache is None:
             cache = {}
             self._pair_cache = cache
-        for i, rec in enumerate(recs):
-            q1 = encode_read(rec.read1)
-            q2 = encode_read(rec.read2)
-            cache[id(rec)] = self.finish_pair(
-                q1, q2, all_regs[2 * i] if len(q1) else [],
-                all_regs[2 * i + 1] if len(q2) else [], score_delta)
+        for rec, (q1, q2, regs1, regs2) in zip(recs, pairs):
+            cache[id(rec)] = self.finish_pair(q1, q2, regs1, regs2,
+                                              score_delta, skip_rescue=True)
 
     def align1(self, q: np.ndarray) -> List[AlnReg]:
         """Single-read path routed through the batch machinery."""

@@ -139,23 +139,27 @@ class AlignmentEngine:
         end = min(end, far_end)
         return self.fm.fetch_fmd(beg, end), beg, end, rid
 
-    def mate_rescue(self, anchor: AlnReg, mate_seq: np.ndarray,
-                    mate_regs: List[AlnReg]) -> int:
-        """mem_matesw for one anchor region; appends rescued regions."""
-        opt, pes = self.opt, self.pair
-        l_pac = self.fm.l_pac
-        l_ms = len(mate_seq)
-        if l_ms == 0:
-            return 0
+    def _rescue_skip(self, anchor: AlnReg, mate_regs: List[AlnReg]) -> bool:
+        """True if the mate already has a properly-oriented hit in range.
+
+        Consulted at replay time: earlier rescues in the same pair append to
+        ``mate_regs`` and change later skip decisions."""
+        pes = self.pair
         # only the FR orientation (r=1) is configured (gobwa.go:230-237)
-        skip = False
         for m in mate_regs:
             r, dist = self._infer_dir(anchor.rb, m.rb)
             if r == 1 and pes.low <= dist <= pes.high:
-                skip = True
-                break
-        if skip:
-            return 0
+                return True
+        return False
+
+    def _rescue_window(self, anchor: AlnReg, mate_seq: np.ndarray):
+        """(rev_query, ref_window, rb) for one rescue DP, or None.
+
+        Depends only on the anchor — independent of other rescue decisions,
+        so windows can be built speculatively and the DPs batched."""
+        opt, pes = self.opt, self.pair
+        l_pac = self.fm.l_pac
+        l_ms = len(mate_seq)
         # r=1: is_rev=True, is_larger=True
         rev = np.where(mate_seq < 4, 3 - mate_seq, 4).astype(np.uint8)[::-1]
         rb = anchor.rb + pes.low - l_ms
@@ -163,14 +167,16 @@ class AlignmentEngine:
         rb = max(rb, 0)
         re = min(re, l_pac << 1)
         if rb >= re:
-            return 0
+            return None
         ref, rb, re, rid = self._fetch_clamped(rb, (rb + re) >> 1, re)
         if rid != anchor.rid or re - rb < opt.min_seed_len:
-            return 0
-        aln = ksw.local_align(
-            rev.astype(np.int64), ref.astype(np.int64), self.mat,
-            opt.gap_open_del, opt.gap_extend_del, opt.gap_open_ins,
-            opt.gap_extend_ins, opt.min_seed_len * opt.match_score)
+            return None
+        return rev, ref, rb
+
+    def _rescue_apply(self, anchor: AlnReg, mate_regs: List[AlnReg],
+                      aln: "ksw.LocalResult", rb: int, l_ms: int) -> None:
+        opt = self.opt
+        l_pac = self.fm.l_pac
         if aln.score >= opt.min_seed_len and aln.qb >= 0:
             b = AlnReg(rid=anchor.rid, rescued=True)
             b.qb = l_ms - (aln.qe + 1)
@@ -184,7 +190,89 @@ class AlignmentEngine:
             b.w = opt.band_width
             b.seedlen0 = min(b.re - b.rb, b.qe - b.qb)
             mate_regs.append(b)
+
+    def mate_rescue(self, anchor: AlnReg, mate_seq: np.ndarray,
+                    mate_regs: List[AlnReg]) -> int:
+        """mem_matesw for one anchor region; appends rescued regions."""
+        opt = self.opt
+        l_ms = len(mate_seq)
+        if l_ms == 0:
+            return 0
+        if self._rescue_skip(anchor, mate_regs):
+            return 0
+        win = self._rescue_window(anchor, mate_seq)
+        if win is None:
+            return 0
+        rev, ref, rb = win
+        aln = ksw.local_align(
+            rev.astype(np.int64), ref.astype(np.int64), self.mat,
+            opt.gap_open_del, opt.gap_extend_del, opt.gap_open_ins,
+            opt.gap_extend_ins, opt.min_seed_len * opt.match_score)
+        self._rescue_apply(anchor, mate_regs, aln, rb, l_ms)
         return 1
+
+    def rescue_pairs_batch(self, pairs, score_delta: int,
+                           local_align_fn=None) -> None:
+        """Mate rescue for many pairs with the local-SW DPs batched.
+
+        ``pairs``: list of (q1, q2, regs1, regs2); regs lists are mutated in
+        place exactly as per-pair ``finish_pair`` rescue would (the anchor
+        sets and DP windows are decision-independent, so the DPs run
+        speculatively in two waves — rescue-read1 then rescue-read2 — and the
+        sequential skip/append control flow replays against cached results).
+        Bit-identical to the sequential path (tests/test_batch_engine.py).
+        """
+        opt = self.opt
+        if local_align_fn is None:
+            def local_align_fn(tasks):
+                return [ksw.local_align(
+                    rev.astype(np.int64), ref.astype(np.int64), self.mat,
+                    opt.gap_open_del, opt.gap_extend_del, opt.gap_open_ins,
+                    opt.gap_extend_ins,
+                    opt.min_seed_len * opt.match_score)
+                    for rev, ref in tasks]
+
+        bests = [(max((r.score for r in regs1), default=0),
+                  max((r.score for r in regs2), default=0))
+                 for _, _, regs1, regs2 in pairs]
+
+        def run_phase(which: int) -> None:
+            # which=0: rescue read1 from regs2 anchors; which=1: the reverse
+            tasks = []
+            plans = []
+            for (q1, q2, regs1, regs2), (b1, b2) in zip(pairs, bests):
+                if which == 0:
+                    anchors_src, best, mate_q = list(regs2), b2, q1
+                else:
+                    anchors_src, best, mate_q = list(regs1), b1, q2
+                plan = []
+                num = 0
+                for m in anchors_src:
+                    if num >= opt.max_matesw or len(mate_q) == 0:
+                        break
+                    if m.score >= best - score_delta:
+                        num += 1
+                        win = self._rescue_window(m, mate_q)
+                        if win is None:
+                            plan.append((m, None, None))
+                        else:
+                            rev, ref, rb = win
+                            plan.append((m, len(tasks), rb))
+                            tasks.append((rev, ref))
+                plans.append(plan)
+            alns = local_align_fn(tasks)
+            for (q1, q2, regs1, regs2), plan in zip(pairs, plans):
+                mate_q, mate_regs = (q1, regs1) if which == 0 else (q2, regs2)
+                l_ms = len(mate_q)
+                for m, ti, rb in plan:
+                    if self._rescue_skip(m, mate_regs):
+                        continue
+                    if ti is None:
+                        continue
+                    self._rescue_apply(m, mate_regs, alns[ti], rb, l_ms)
+
+        run_phase(0)
+        run_phase(1)
 
     def align_pair(self, seq1: bytes, seq2: bytes, score_delta: int,
                    mems: Optional[Tuple[list, list]] = None,
@@ -280,9 +368,17 @@ class AlignmentEngine:
         return [(mems, flat[o:o + c])
                 for mems, (o, c) in zip(mems_lists, spans)]
 
-    def finish_pair(self, q1, q2, regs1, regs2, score_delta: int
+    def finish_pair(self, q1, q2, regs1, regs2, score_delta: int,
+                    skip_rescue: bool = False
                     ) -> Tuple[List[EasyAlignment], List[EasyAlignment]]:
-        """Mate rescue + interpretation half of GoBwaMemMateSW."""
+        """Mate rescue + interpretation half of GoBwaMemMateSW.
+
+        ``skip_rescue``: the regs lists are already post-rescue (a device
+        priming pass ran ``rescue_pairs_batch``); only interpret.
+        """
+        if skip_rescue:
+            return ([self.interpret_align(r) for r in regs1],
+                    [self.interpret_align(r) for r in regs2])
         opt = self.opt
         best1 = max((r.score for r in regs1), default=0)
         best2 = max((r.score for r in regs2), default=0)

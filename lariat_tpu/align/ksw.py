@@ -428,3 +428,93 @@ def local_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     qb = qe - qe_r
     tb = te - te_r
     return LocalResult(score, qb, qe, tb, te, score2, te2)
+
+
+def _pad_tier(n: int, tiers) -> int:
+    """Smallest tier >= n (falls back to 64-multiple past the ladder): each
+    distinct device shape is a fresh (remote, minutes-long) Mosaic compile."""
+    for t in tiers or ():
+        if n <= t:
+            return t
+    return -(-n // 64) * 64
+
+
+def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
+                      mat: np.ndarray, o_del: int, e_del: int,
+                      o_ins: int, e_ins: int, minsc: int,
+                      backend: str = "xla",
+                      q_tiers=None, t_tiers=None) -> List[LocalResult]:
+    """Device-batched ksw_align2 for many (query, target) tasks.
+
+    Two device waves: the forward local SW over every task, then the
+    reversed-prefix pass (start coordinates) over the tasks that scored.
+    Bit-identical per task to ``local_align`` (mem_matesw's DP,
+    gobwa.go:287-324); tests/test_sw_local.py asserts it.
+    """
+    B = len(tasks)
+    if B == 0:
+        return []
+    big = 1 << 30
+    results: List[LocalResult] = [None] * B  # type: ignore[list-item]
+
+    def run_wave(wave, minscs):
+        Lq = _pad_tier(max(len(q) for q, _ in wave), q_tiers)
+        Lt = _pad_tier(max(len(t) for _, t in wave), t_tiers)
+        n = len(wave)
+        qa = np.zeros((n, Lq), np.int32)
+        ta = np.zeros((n, Lt), np.int32)
+        qlen = np.zeros(n, np.int32)
+        tlen = np.zeros(n, np.int32)
+        for i, (qi, ti) in enumerate(wave):
+            qa[i, :len(qi)] = qi
+            ta[i, :len(ti)] = ti
+            qlen[i] = len(qi)
+            tlen[i] = len(ti)
+        if backend == "pallas":
+            from ..ops.sw_local_pallas import local_batch_pallas
+            params = _mat_params(np.asarray(mat))
+            if params is None:
+                raise ValueError("pallas local kernel needs a uniform matrix")
+            res = local_batch_pallas(
+                qa, qlen, ta, tlen, np.asarray(minscs, np.int32),
+                o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                match_sc=params[0], mismatch_sc=-params[1], n_sc=params[2])
+        else:
+            from ..ops.sw_local_batch import local_batch
+            res = local_batch(qa, qlen, ta, tlen,
+                              np.asarray(mat, np.int64),
+                              np.asarray(minscs, np.int32),
+                              o_del=o_del, e_del=e_del, o_ins=o_ins,
+                              e_ins=e_ins, max_sc=int(np.asarray(mat).max()))
+        return (np.asarray(res.score), np.asarray(res.te),
+                np.asarray(res.qe), np.asarray(res.score2),
+                np.asarray(res.te2))
+
+    fwd_idx = [i for i, (q, t) in enumerate(tasks) if len(q) and len(t)]
+    for i, (q, t) in enumerate(tasks):
+        if not (len(q) and len(t)):
+            results[i] = LocalResult(0, -1, -1, -1, -1, -1, -1)
+    if not fwd_idx:
+        return results
+    score, te, qe, score2, te2 = run_wave(
+        [tasks[i] for i in fwd_idx], np.full(len(fwd_idx), minsc, np.int32))
+    rev_wave = []
+    rev_pos = []
+    for k, i in enumerate(fwd_idx):
+        if te[k] < 0 or score[k] < minsc:
+            results[i] = LocalResult(int(score[k]), -1, -1, -1, -1,
+                                     int(score2[k]), int(te2[k]))
+        else:
+            q, t = tasks[i]
+            rev_wave.append((np.ascontiguousarray(q[:qe[k] + 1][::-1]),
+                             np.ascontiguousarray(t[:te[k] + 1][::-1])))
+            rev_pos.append((i, k))
+    if rev_wave:
+        _, te_r, qe_r, _, _ = run_wave(
+            rev_wave, np.full(len(rev_wave), big, np.int64))
+        for j, (i, k) in enumerate(rev_pos):
+            results[i] = LocalResult(
+                int(score[k]), int(qe[k] - qe_r[j]), int(qe[k]),
+                int(te[k] - te_r[j]), int(te[k]),
+                int(score2[k]), int(te2[k]))
+    return results

@@ -66,7 +66,8 @@ def _prime_group(device_engine, buf, config):
     """Run one device priming pass over a group of barcodes; attach the
     per-pair candidate regions to each work item."""
     all_reads = [rec for reads, _ in buf for rec in reads]
-    primes = device_engine.prime_regions(all_reads)
+    primes = device_engine.prime_regions(all_reads,
+                                         config.chain_score_delta)
     off = 0
     out = []
     for reads, unique in buf:

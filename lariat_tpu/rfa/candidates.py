@@ -50,10 +50,14 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
     if primed_regions is not None:
         from ..align.engine import encode_read
         pair_results = []
-        for rec, (regs1, regs2) in zip(reads, primed_regions):
+        for rec, primed in zip(reads, primed_regions):
+            # (regs1, regs2) = pre-rescue; (regs1, regs2, True) = the priming
+            # pass already ran device-batched mate rescue
+            regs1, regs2 = primed[0], primed[1]
+            rescued = len(primed) > 2 and primed[2]
             pair_results.append(engine.finish_pair(
                 encode_read(rec.read1), encode_read(rec.read2),
-                regs1, regs2, score_delta))
+                regs1, regs2, score_delta, skip_rescue=rescued))
     elif cache is not None and reads and id(reads[0]) in cache:
         pair_results = [cache.pop(id(rec)) for rec in reads]
     elif hasattr(engine, "align_batch") and reads:

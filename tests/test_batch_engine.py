@@ -166,3 +166,98 @@ def test_reg2aln_session_fuzz(dup_genome):  # noqa: F811
     assert got is not None
     for i, ((seq, reg), g) in enumerate(zip(tasks, got)):
         assert g == host.reg2aln(seq, reg), (i, seq)
+
+
+def _rescue_pairs(genome, rng, n=40):
+    """Pairs engineered so mate rescue actually fires: read1 clean, read2
+    heavily mutated (align1 finds nothing; the local SW in the insert window
+    still does)."""
+    pairs = []
+    for _ in range(n):
+        pos = int(rng.integers(0, len(genome) - 600))
+        r1 = genome[pos:pos + 100]
+        frag = bytearray(genome[pos + 200:pos + 300])
+        nmut = int(rng.integers(15, 35))
+        for _ in range(nmut):
+            p = int(rng.integers(0, len(frag)))
+            frag[p] = b"ACGT"[int(rng.integers(0, 4))]
+        r2 = bytes(frag).translate(COMP)[::-1]
+        pairs.append((r1, r2))
+        # also the symmetric case
+        pairs.append((r2, r1))
+    return pairs
+
+
+def test_rescue_pairs_batch_matches_sequential(dup_genome):  # noqa: F811
+    import copy
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    rng = np.random.default_rng(57)
+    raw = _rescue_pairs(genome, rng)
+    delta = 5
+    seq_out = []
+    batch_pairs = []
+    rescued_any = 0
+    for s1, s2 in raw:
+        q1, q2 = encode_read(s1), encode_read(s2)
+        regs1 = host.align1(q1)
+        regs2 = host.align1(q2)
+        b1 = copy.deepcopy(regs1)
+        b2 = copy.deepcopy(regs2)
+        host.finish_pair(q1, q2, regs1, regs2, delta)
+        rescued_any += sum(r.rescued for r in regs1 + regs2)
+        seq_out.append((regs1, regs2))
+        batch_pairs.append((q1, q2, b1, b2))
+    assert rescued_any > 0, "fixture failed to trigger any rescue"
+    host.rescue_pairs_batch(batch_pairs, delta)
+    for (r1, r2), (_, _, g1, g2) in zip(seq_out, batch_pairs):
+        assert len(r1) == len(g1) and len(r2) == len(g2)
+        for w, g in zip(r1 + r2, g1 + g2):
+            assert dataclasses.asdict(w) == dataclasses.asdict(g)
+
+
+def test_rescue_pairs_batch_device_fn_matches(dup_genome):  # noqa: F811
+    """Same as above but with the batch engine's device local-SW waves
+    (XLA backend on CPU) supplying the DP results."""
+    import copy
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=False)
+    rng = np.random.default_rng(58)
+    raw = _rescue_pairs(genome, rng, n=20)
+    delta = 5
+    for s1, s2 in raw:
+        q1, q2 = encode_read(s1), encode_read(s2)
+        regs1, regs2 = host.align1(q1), host.align1(q2)
+        b1, b2 = copy.deepcopy(regs1), copy.deepcopy(regs2)
+        host.finish_pair(q1, q2, regs1, regs2, delta)
+        batch.rescue_pairs_batch([(q1, q2, b1, b2)], delta,
+                                 local_align_fn=batch.local_align_device)
+        for w, g in zip(regs1 + regs2, b1 + b2):
+            assert dataclasses.asdict(w) == dataclasses.asdict(g)
+
+
+def test_prime_regions_with_rescue_barcode_parity(dup_genome):  # noqa: F811
+    """process_barcode fed primed post-rescue regions == host path."""
+    from lariat_tpu.config import RFAConfig
+    from lariat_tpu.rfa.pipeline import process_barcode
+    from test_rfa import _make_pair
+    fm, genome = dup_genome
+    host = AlignmentEngine(fm)
+    batch = BatchAlignmentEngine(fm, use_pallas=False)
+    reads = []
+    for i, pos in enumerate(range(1500, 3100, 200)):
+        reads.append(_make_pair(genome, pos, 300, f"m1:{i}"))
+    cfg = RFAConfig()
+    primes = batch.prime_regions(reads, cfg.chain_score_delta)
+    assert all(len(p) == 3 and p[2] for p in primes)
+    r1 = process_barcode(host, reads, True, cfg)
+    r2 = process_barcode(host, reads, True, cfg, primed_regions=primes)
+    for arr1, arr2 in zip(r1.alignments, r2.alignments):
+        assert len(arr1) == len(arr2)
+        for a1, a2 in zip(arr1, arr2):
+            assert (a1.pos, a1.aend, a1.contig, a1.reversed_, a1.score,
+                    a1.cigar, a1.mapq, a1.active, a1.is_proper,
+                    a1.duplicate) == \
+                   (a2.pos, a2.aend, a2.contig, a2.reversed_, a2.score,
+                    a2.cigar, a2.mapq, a2.active, a2.is_proper, a2.duplicate)

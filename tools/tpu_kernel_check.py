@@ -117,6 +117,47 @@ def main() -> int:
                   f"device={got_cigar} host={want_cigar}")
             return 1
     print(f"global kernel: {B} tasks bit-identical to host (score + cigar)")
+
+    # --- local (mate rescue) kernel ---
+    B, Lq, Lt = 256, 128, 256
+    qa = np.zeros((B, Lq), np.int32)
+    ta = np.zeros((B, Lt), np.int32)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    cases = []
+    for i in range(B):
+        ql = int(rng.integers(1, Lq + 1))
+        tl = int(rng.integers(1, Lt + 1))
+        t = rng.integers(0, 4, tl)
+        if tl > ql and rng.integers(0, 4):
+            off = int(rng.integers(0, tl - ql))
+            q = t[off:off + ql].copy()
+            for _ in range(int(rng.integers(0, max(2, ql // 10)))):
+                p = int(rng.integers(0, ql))
+                q[p] = (q[p] + 1) % 4
+        else:
+            q = rng.integers(0, 5, ql)
+        qa[i, :ql] = q
+        ta[i, :tl] = t
+        qlen[i], tlen[i] = ql, tl
+        cases.append((q, t))
+    minsc = np.full(B, 19, np.int32)
+    from lariat_tpu.ops import sw_local_pallas
+    t0 = time.time()
+    res = sw_local_pallas.local_batch_pallas(qa, qlen, ta, tlen, minsc)
+    got = {f: np.asarray(getattr(res, f)) for f in res._fields}
+    dt = time.time() - t0
+    print(f"local kernel: B={B} in {dt * 1e3:.1f} ms (incl. compile)")
+    for i, (q, t) in enumerate(cases):
+        ref = ksw._local_core(q.astype(np.int64), t.astype(np.int64), mat,
+                              6, 1, 6, 1, 19, 1 << 30)
+        want = (0, -1, -1, -1, -1) if ref[1] < 0 else ref
+        for f, wv_ in zip(res._fields, want):
+            if int(got[f][i]) != int(wv_):
+                print(f"local mismatch task {i} field {f}: "
+                      f"device={int(got[f][i])} host={int(wv_)}")
+                return 1
+    print(f"local kernel: {B} tasks bit-identical to host")
     print("TPU_KERNELS_OK")
     return 0
 
