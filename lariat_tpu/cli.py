@@ -77,10 +77,12 @@ def _prime_group(device_engine, buf, config):
 
 
 def load_reference(genome: str, index_prefix: str = ""):
-    """Load or build the genome index: prefers our .lariat.npz, then a
-    bwa-format index next to the FASTA, then builds from scratch."""
+    """Load or build the genome index: prefers our .lariat.d / .lariat.npz,
+    then a bwa-format index next to the FASTA, then builds from scratch."""
     import os
     prefix = index_prefix or genome
+    if os.path.isdir(prefix + ".lariat.d"):
+        return fmindex.FMIndex.load_dir(prefix)
     if os.path.exists(prefix + ".lariat.npz"):
         return fmindex.FMIndex.load(prefix)
     if os.path.exists(prefix + ".bwt"):

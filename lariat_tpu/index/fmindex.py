@@ -94,7 +94,8 @@ class FMIndex:
     def __init__(self, *, l_pac: int, primary: int, L2: np.ndarray,
                  bwt_codes: np.ndarray, sa_intv: int, sa_samples: np.ndarray,
                  pac: np.ndarray, contigs: List[Contig],
-                 ambs: Optional[List[AmbRegion]] = None):
+                 ambs: Optional[List[AmbRegion]] = None,
+                 occ_ckpt: Optional[np.ndarray] = None):
         self.l_pac = int(l_pac)
         self.seq_len = 2 * self.l_pac
         self.primary = int(primary)
@@ -107,8 +108,11 @@ class FMIndex:
         self.ambs = ambs or []
         self.name_to_tid = {c.name: i for i, c in enumerate(contigs)}
         # occ checkpoints every OCC_INTERVAL bases over the physical BWT
-        onehot_sums = _blocked_counts(self.bwt_codes, OCC_INTERVAL)
-        self.occ_ckpt = onehot_sums  # int64[(nblocks+1), 4]: counts before block
+        # (a full pass over bwt_codes — persisted in the npz so loading an
+        # hg38-scale index skips ~30 s of recount)
+        if occ_ckpt is None:
+            occ_ckpt = _blocked_counts(self.bwt_codes, OCC_INTERVAL)
+        self.occ_ckpt = occ_ckpt  # int64[(nblocks+1), 4]: counts before block
         self._packed_words = None
 
     # ---------------- rank / search primitives (bwa conventions) -----------
@@ -269,6 +273,30 @@ class FMIndex:
             l_pac=self.l_pac, primary=self.primary, L2=self.L2,
             bwt_codes=self.bwt_codes, sa_intv=self.sa_intv,
             sa_samples=self.sa_samples, pac=self.pac,
+            occ_ckpt=self.occ_ckpt,
+            contig_names=np.array([c.name for c in self.contigs]),
+            contig_offsets=np.array([c.offset for c in self.contigs]),
+            contig_lengths=np.array([c.length for c in self.contigs]),
+            amb_offsets=np.array([a.offset for a in self.ambs], dtype=np.int64),
+            amb_lengths=np.array([a.length for a in self.ambs], dtype=np.int64),
+            amb_bases=np.array([a.base for a in self.ambs]))
+
+    # Large arrays stored as individual .npy files so they can be mmapped:
+    # loading an hg38-scale index is then ~instant (pages fault in on
+    # demand and are shared across forked workers via the page cache),
+    # vs minutes to stream-read an 8.5 GB npz into anonymous memory.
+    _DIR_BIG = ("bwt_codes", "sa_samples", "pac", "occ_ckpt")
+
+    def save_dir(self, prefix: str) -> None:
+        """Persist as a ``<prefix>.lariat.d/`` directory (mmap-on-load)."""
+        d = prefix + ".lariat.d"
+        os.makedirs(d, exist_ok=True)
+        for name in self._DIR_BIG:
+            np.save(os.path.join(d, name + ".npy"), getattr(self, name))
+        np.savez(
+            os.path.join(d, "meta.npz"),
+            l_pac=self.l_pac, primary=self.primary, L2=self.L2,
+            sa_intv=self.sa_intv,
             contig_names=np.array([c.name for c in self.contigs]),
             contig_offsets=np.array([c.offset for c in self.contigs]),
             contig_lengths=np.array([c.length for c in self.contigs]),
@@ -277,7 +305,23 @@ class FMIndex:
             amb_bases=np.array([a.base for a in self.ambs]))
 
     @classmethod
+    def load_dir(cls, prefix: str) -> "FMIndex":
+        d = prefix + ".lariat.d"
+        z = np.load(os.path.join(d, "meta.npz"), allow_pickle=False)
+        big = {name: np.load(os.path.join(d, name + ".npy"), mmap_mode="r")
+               for name in cls._DIR_BIG}
+        contigs = [Contig(str(n), int(o), int(L)) for n, o, L in zip(
+            z["contig_names"], z["contig_offsets"], z["contig_lengths"])]
+        ambs = [AmbRegion(int(o), int(L), str(b)) for o, L, b in zip(
+            z["amb_offsets"], z["amb_lengths"], z["amb_bases"])]
+        return cls(l_pac=int(z["l_pac"]), primary=int(z["primary"]),
+                   L2=z["L2"], sa_intv=int(z["sa_intv"]), contigs=contigs,
+                   ambs=ambs, **big)
+
+    @classmethod
     def load(cls, prefix: str) -> "FMIndex":
+        if os.path.isdir(prefix + ".lariat.d"):
+            return cls.load_dir(prefix)
         z = np.load(prefix + ".lariat.npz", allow_pickle=False)
         contigs = [Contig(str(n), int(o), int(L)) for n, o, L in zip(
             z["contig_names"], z["contig_offsets"], z["contig_lengths"])]
@@ -286,7 +330,9 @@ class FMIndex:
         return cls(l_pac=int(z["l_pac"]), primary=int(z["primary"]),
                    L2=z["L2"], bwt_codes=z["bwt_codes"],
                    sa_intv=int(z["sa_intv"]), sa_samples=z["sa_samples"],
-                   pac=z["pac"], contigs=contigs, ambs=ambs)
+                   pac=z["pac"], contigs=contigs, ambs=ambs,
+                   occ_ckpt=(z["occ_ckpt"] if "occ_ckpt" in z.files
+                             else None))
 
 
 def _blocked_counts(codes: np.ndarray, interval: int) -> np.ndarray:

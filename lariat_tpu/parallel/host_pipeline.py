@@ -27,6 +27,14 @@ from ..rfa.types import Region
 # worker globals installed by the pool initializer (fork inherits the index)
 _G: dict = {}
 
+# Pre-fork state read by ``_init_worker`` from the forked address space.
+# Passing the engine through Pool ``initargs`` would PICKLE it through a
+# pipe per worker (multiprocessing pickles initargs even under the fork
+# start method) — at hg38 scale that is ~8.5 GB per worker and dominates
+# startup. Stashing it in a module global before ``Pool()`` forks makes the
+# hand-off a true copy-on-write share, which is the design stated above.
+_FORK_STATE: dict = {}
+
 
 @dataclasses.dataclass
 class PackedBarcode:
@@ -37,15 +45,8 @@ class PackedBarcode:
     stats: Tuple[int, int, int, int]
 
 
-def _init_worker(engine: AlignmentEngine, config: RFAConfig,
-                 centromeres: Dict[str, Region], tid: Dict[str, int],
-                 debug_tags: bool, simulated: bool) -> None:
-    _G["engine"] = engine
-    _G["config"] = config
-    _G["centromeres"] = centromeres
-    _G["tid"] = tid
-    _G["debug_tags"] = debug_tags
-    _G["simulated"] = simulated
+def _init_worker() -> None:
+    _G.update(_FORK_STATE)
     # the pool already process-parallelizes across cores; per-worker native
     # thread fan-out would oversubscribe (workers x N_THREADS threads)
     from ..index import native_ops
@@ -93,10 +94,12 @@ class ParallelRunner:
     def __init__(self, engine: AlignmentEngine, config: RFAConfig,
                  centromeres: Dict[str, Region], tid: Dict[str, int],
                  debug_tags: bool, simulated: bool, threads: int):
+        _FORK_STATE.update(
+            engine=engine, config=config, centromeres=centromeres, tid=tid,
+            debug_tags=debug_tags, simulated=simulated)
         ctx = mp.get_context("fork")
         self.pool = ctx.Pool(
-            processes=max(threads, 1), initializer=_init_worker,
-            initargs=(engine, config, centromeres, tid, debug_tags, simulated))
+            processes=max(threads, 1), initializer=_init_worker)
 
     def imap(self, work_iter, chunksize: int = 1):
         """Yield PackedBarcode results in input order."""

@@ -139,3 +139,39 @@ def test_index_save_load_roundtrip(tmp_path):
     import dataclasses
     assert [dataclasses.asdict(x) for x in r1] == \
            [dataclasses.asdict(x) for x in r2]
+
+
+def test_index_dir_format_roundtrip(tmp_path):
+    """save_dir/.load_dir (mmap) must match the npz format exactly.
+
+    The directory format exists for hg38-scale indexes: np.load
+    mmap_mode='r' makes load ~instant and pages shared across forked
+    workers, where the npz needs a full stream-read.
+    """
+    import numpy as np
+    from lariat_tpu.index import fmindex
+    rng = np.random.default_rng(7)
+    g = np.frombuffer(b"ACGT", dtype=np.uint8)[rng.integers(0, 4, 4000)]
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">c1\n" + g.tobytes().decode() + "\n")
+    fm = fmindex.build_index(str(fa))
+    fm.save_dir(str(fa))
+    fm2 = fmindex.FMIndex.load(str(fa))  # load() must prefer the dir
+    # __init__'s asarray turns the memmap into a base-class VIEW of it —
+    # still mmap-backed (no copy), so check the .base chain
+    assert isinstance(fm2.bwt_codes.base, np.memmap)
+    assert fm2.l_pac == fm.l_pac and fm2.primary == fm.primary
+    assert fm2.sa_intv == fm.sa_intv
+    for attr in ("L2", "bwt_codes", "sa_samples", "pac", "occ_ckpt"):
+        assert np.array_equal(getattr(fm2, attr), getattr(fm, attr)), attr
+    assert [(c.name, c.offset, c.length) for c in fm2.contigs] == \
+           [(c.name, c.offset, c.length) for c in fm.contigs]
+    # engine runs against the mmapped arrays (native ctypes reads them)
+    q4 = fmindex.NT4_TABLE[g[500:580]]
+    from lariat_tpu.align.engine import AlignmentEngine
+    import dataclasses
+    r1 = AlignmentEngine(fm).align1(q4)
+    r2 = AlignmentEngine(fm2).align1(q4)
+    assert [dataclasses.asdict(x) for x in r1] == \
+           [dataclasses.asdict(x) for x in r2]

@@ -28,6 +28,7 @@ def save_uncompressed(fm, prefix: str) -> None:
         l_pac=fm.l_pac, primary=fm.primary, L2=fm.L2,
         bwt_codes=fm.bwt_codes, sa_intv=fm.sa_intv,
         sa_samples=fm.sa_samples, pac=fm.pac,
+        occ_ckpt=fm.occ_ckpt,
         contig_names=np.array([c.name for c in fm.contigs]),
         contig_offsets=np.array([c.offset for c in fm.contigs]),
         contig_lengths=np.array([c.length for c in fm.contigs]),
