@@ -180,18 +180,23 @@ class FMIndex:
 
     @property
     def packed_words(self) -> np.ndarray:
-        """BWT as uint32 words (16 codes/word, base 0 high bits), block-padded."""
+        """BWT as uint32 words (16 codes/word, base 0 high bits), block-padded.
+
+        Computed by pairwise doubling (2 -> 4 -> 8 -> 16 codes per element)
+        so the cost is ~4 shrinking passes; the naive 16x (N, 16)-astype
+        version took ~10 min at hg38 scale. Persisted by ``save_dir`` so
+        loads (and every forked worker) skip even that.
+        """
         if self._packed_words is None:
             n = len(self.bwt_codes)
             n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
             pad = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint8)
             pad[:n] = self.bwt_codes
-            q = pad.reshape(-1, 16).astype(np.uint32)
-            shifts = np.arange(15, -1, -1, dtype=np.uint32) * 2
-            words = np.zeros(q.shape[0], dtype=np.uint32)
-            for k in range(16):
-                words |= q[:, k] << shifts[k]
-            self._packed_words = words
+            c2 = (pad[0::2] << 2) | pad[1::2]          # 2 codes / uint8
+            c4 = (c2[0::2].astype(np.uint16) << 4) | c2[1::2]
+            c8 = (c4[0::2] << np.uint16(8)) | c4[1::2]  # 8 codes / uint16
+            c16 = (c8[0::2].astype(np.uint32) << 16) | c8[1::2]
+            self._packed_words = np.ascontiguousarray(c16)
         return self._packed_words
 
     def sa_lookup_many(self, rows: np.ndarray) -> np.ndarray:
@@ -293,6 +298,8 @@ class FMIndex:
         os.makedirs(d, exist_ok=True)
         for name in self._DIR_BIG:
             np.save(os.path.join(d, name + ".npy"), getattr(self, name))
+        # derived but expensive at scale; the native seeding path needs it
+        np.save(os.path.join(d, "packed_words.npy"), self.packed_words)
         np.savez(
             os.path.join(d, "meta.npz"),
             l_pac=self.l_pac, primary=self.primary, L2=self.L2,
@@ -314,9 +321,13 @@ class FMIndex:
             z["contig_names"], z["contig_offsets"], z["contig_lengths"])]
         ambs = [AmbRegion(int(o), int(L), str(b)) for o, L, b in zip(
             z["amb_offsets"], z["amb_lengths"], z["amb_bases"])]
-        return cls(l_pac=int(z["l_pac"]), primary=int(z["primary"]),
-                   L2=z["L2"], sa_intv=int(z["sa_intv"]), contigs=contigs,
-                   ambs=ambs, **big)
+        fm = cls(l_pac=int(z["l_pac"]), primary=int(z["primary"]),
+                 L2=z["L2"], sa_intv=int(z["sa_intv"]), contigs=contigs,
+                 ambs=ambs, **big)
+        pw = os.path.join(d, "packed_words.npy")
+        if os.path.exists(pw):
+            fm._packed_words = np.load(pw, mmap_mode="r")
+        return fm
 
     @classmethod
     def load(cls, prefix: str) -> "FMIndex":
