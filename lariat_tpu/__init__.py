@@ -7,3 +7,15 @@ host pipeline for I/O and BAM emission.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# The TPU-tunnel PJRT plugin has registered its platform under different
+# names across environment updates ("axon", then plain "tpu"). A pinned
+# JAX_PLATFORMS naming a backend that is no longer registered makes every
+# jax backend lookup raise; clear stale pins and let jax auto-pick from
+# what is actually registered (explicit "cpu"/"tpu" pins are honored).
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if _plat and not set(_plat.split(",")) <= {"cpu", "tpu"}:
+    _os.environ["JAX_PLATFORMS"] = ""
+del _os, _plat

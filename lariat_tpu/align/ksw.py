@@ -443,7 +443,8 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
                       mat: np.ndarray, o_del: int, e_del: int,
                       o_ins: int, e_ins: int, minsc: int,
                       backend: str = "xla",
-                      q_tiers=None, t_tiers=None) -> List[LocalResult]:
+                      q_tiers=None, t_tiers=None,
+                      interpret: bool = False) -> List[LocalResult]:
     """Device-batched ksw_align2 for many (query, target) tasks.
 
     Two device waves: the forward local SW over every task, then the
@@ -478,7 +479,8 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
             res = local_batch_pallas(
                 qa, qlen, ta, tlen, np.asarray(minscs, np.int32),
                 o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
-                match_sc=params[0], mismatch_sc=-params[1], n_sc=params[2])
+                match_sc=params[0], mismatch_sc=params[1], n_sc=params[2],
+                interpret=interpret)
         else:
             from ..ops.sw_local_batch import local_batch
             res = local_batch(qa, qlen, ta, tlen,

@@ -108,6 +108,23 @@ def LocalBatchResultFields():
     return ("score", "te", "qe", "score2", "te2")
 
 
+def test_local_align_batch_pallas_wrapper_matches_local_align():
+    """Wrapper-level pallas parity: exercises local_align_batch's own
+    score-matrix -> (match, mismatch, n) translation, which a direct
+    local_batch_pallas call bypasses (a sign bug hid here once)."""
+    from lariat_tpu.align.ksw import local_align_batch
+    rng = np.random.default_rng(11)
+    mat = ksw.fill_score_matrix(1, 4)
+    tasks = _rand_tasks(rng, 30) + _rand_tasks(rng, 10, mutate=False)
+    minsc = 19
+    out = local_align_batch([(q, t) for q, t in tasks], mat,
+                            6, 1, 6, 1, minsc, backend="pallas",
+                            interpret=True)
+    for i, (qi, ti) in enumerate(tasks):
+        ref = ksw.local_align(qi, ti, mat, 6, 1, 6, 1, minsc)
+        assert out[i] == ref, f"task {i}: {out[i]} vs {ref}"
+
+
 def test_local_align_batch_empty_and_edge():
     from lariat_tpu.align.ksw import local_align_batch
     mat = ksw.fill_score_matrix(1, 4)
