@@ -65,7 +65,9 @@ def _prepare_inputs(workdir: str) -> tuple[str, str, float]:
         [sys.executable, os.path.join(REPO, "tools/sim_reads.py"), fa, reads,
          "--barcodes", str(N_BARCODES), "--pairs-per-bc", str(PAIRS_PER_BC),
          "--molecule-len", "40000"],
-        check=True, env={**os.environ, "PYTHONPATH": REPO},
+        check=True, env={**os.environ, "PYTHONPATH": REPO + (
+             ":" + os.environ["PYTHONPATH"]
+             if os.environ.get("PYTHONPATH") else "")},
         stdout=subprocess.DEVNULL)
     return fa, reads, t_index
 
@@ -81,7 +83,9 @@ def _run_cli(fa: str, reads: str, outdir: str, use_device: str) -> dict:
         [sys.executable, "-m", "lariat_tpu.cli", "-reads", reads,
          "-genome", fa, "-output", outdir, "-threads", "4",
          "-use_device", use_device],
-        env={**os.environ, "PYTHONPATH": REPO},
+        env={**os.environ, "PYTHONPATH": REPO + (
+             ":" + os.environ["PYTHONPATH"]
+             if os.environ.get("PYTHONPATH") else "")},
         capture_output=True, text=True, timeout=3600)
     wall = time.time() - t0
     m = _RATE_RE.search(proc.stdout)

@@ -5,7 +5,7 @@ Runs the SW-extend and banded-global Pallas kernels on the REAL accelerator
 scalar host references in align/ksw.py. Invoked by tests/test_tpu_kernels.py
 under RUN_TPU=1, or manually:
 
-    PYTHONPATH=/root/repo python tools/tpu_kernel_check.py
+    PYTHONPATH=/root/repo:$PYTHONPATH python tools/tpu_kernel_check.py
 
 Prints TPU_KERNELS_OK on success. Must be the only TPU client on this
 machine (the axon tunnel serializes clients).
