@@ -39,6 +39,29 @@ from .extension import MAX_BAND_TRY, AlnReg, cal_max_gap
 MAX_EXT_LEN = 1 << 30
 
 
+def _start_transfer_warmup():
+    """First device->host transfer in a process can stall for minutes while
+    the remote-TPU tunnel (re)establishes its result channel; pay that cost
+    on a background thread at engine construction so the first real wave
+    doesn't. Returns the started thread (None when there is no device)."""
+    import threading
+
+    def _roundtrip():
+        try:
+            import jax
+            import jax.numpy as jnp
+            if jax.default_backend() == "cpu":
+                return
+            np.asarray(jnp.zeros(16, jnp.int32))
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_roundtrip, daemon=True,
+                         name="lariat-transfer-warmup")
+    t.start()
+    return t
+
+
 def _pow2_bucket(n: int, floor: int = 128) -> int:
     """Round batch sizes up to powers of two: distinct shapes retrace the
     whole jitted wave, so sizes must come from a tiny fixed set."""
@@ -141,6 +164,13 @@ class BatchAlignmentEngine(AlignmentEngine):
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self._warmup = _start_transfer_warmup()
+
+    def wait_warmup(self) -> None:
+        """Block until the first-transfer warmup round trip completes."""
+        if self._warmup is not None:
+            self._warmup.join()
+            self._warmup = None
 
     # ------------------------------------------------------------- batching
 
@@ -216,10 +246,14 @@ class BatchAlignmentEngine(AlignmentEngine):
                 rbegs_list.append(empty_b)
         sess = native_engine.Align1Session(self.fm, opt, qs, mems_list,
                                            rbegs_list)
+        import os
+        import time
+        dbg = os.environ.get("LARIAT_WAVE_DEBUG") == "1"
         try:
             mat = np.asarray(ksw.fill_score_matrix(opt.match_score,
                                                    opt.mismatch_penalty))
             while sess.pending():
+                t_wave = time.time()
                 # pallas: pin wave dims to 2 tiers (each distinct shape is a
                 # minutes-long Mosaic compile over a remote TPU link)
                 tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 576))
@@ -241,6 +275,10 @@ class BatchAlignmentEngine(AlignmentEngine):
                 sess.feed(np.asarray(res.score), np.asarray(res.qle),
                           np.asarray(res.tle), np.asarray(res.gtle),
                           np.asarray(res.gscore), np.asarray(res.max_off))
+                if dbg:
+                    print(f"[wave] phase={sess.phase()} B={len(qlen)} "
+                          f"q={q.shape[1]} t={t.shape[1]} "
+                          f"{time.time() - t_wave:.2f}s", flush=True)
             return sess.finish()
         finally:
             sess.close()

@@ -462,10 +462,20 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
         Lq = _pad_tier(max(len(q) for q, _ in wave), q_tiers)
         Lt = _pad_tier(max(len(t) for _, t in wave), t_tiers)
         n = len(wave)
-        qa = np.zeros((n, Lq), np.int32)
-        ta = np.zeros((n, Lt), np.int32)
-        qlen = np.zeros(n, np.int32)
-        tlen = np.zeros(n, np.int32)
+        # pad the batch dim to power-of-two buckets: each distinct shape is
+        # a fresh (minutes-long, remote) Mosaic compile, and task counts
+        # vary per call
+        Bp = 128
+        while Bp < n:
+            Bp <<= 1
+        qa = np.zeros((Bp, Lq), np.int32)
+        ta = np.zeros((Bp, Lt), np.int32)
+        qlen = np.zeros(Bp, np.int32)
+        tlen = np.zeros(Bp, np.int32)
+        if len(minscs) != Bp:
+            m = np.full(Bp, 1 << 30, minscs.dtype)
+            m[:n] = minscs[:n]
+            minscs = m
         for i, (qi, ti) in enumerate(wave):
             qa[i, :len(qi)] = qi
             ta[i, :len(ti)] = ti

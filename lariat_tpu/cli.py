@@ -175,6 +175,14 @@ def run(argv=None):
             buf = []
             pending = 0
             for item in work_iter():
+                # while the tunnel's first-transfer warmup stall is still in
+                # flight, keep workers fed through the host path instead of
+                # blocking the whole pipeline on the device
+                if device_engine._warmup is not None:
+                    if device_engine._warmup.is_alive():
+                        yield item
+                        continue
+                    device_engine.wait_warmup()
                 buf.append(item)
                 pending += len(item[0])
                 if pending >= 4096:
