@@ -468,8 +468,10 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
         Bp = 128
         while Bp < n:
             Bp <<= 1
-        qa = np.zeros((Bp, Lq), np.int32)
-        ta = np.zeros((Bp, Lt), np.int32)
+        # uint8 buffers (codes 0..4): the device entry points cast to int32
+        # on-chip, and the 4x smaller upload matters over a remote TPU link
+        qa = np.zeros((Bp, Lq), np.uint8)
+        ta = np.zeros((Bp, Lt), np.uint8)
         qlen = np.zeros(Bp, np.int32)
         tlen = np.zeros(Bp, np.int32)
         if len(minscs) != Bp:

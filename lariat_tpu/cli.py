@@ -172,25 +172,44 @@ def run(argv=None):
             if device_engine is None:
                 yield from work_iter()
                 return
-            buf = []
-            pending = 0
-            for item in work_iter():
-                # while the tunnel's first-transfer warmup stall is still in
-                # flight, keep workers fed through the host path instead of
-                # blocking the whole pipeline on the device
-                if device_engine._warmup is not None:
-                    if device_engine._warmup.is_alive():
-                        yield item
-                        continue
-                    device_engine.wait_warmup()
-                buf.append(item)
-                pending += len(item[0])
-                if pending >= 4096:
-                    yield from _prime_group(device_engine, buf, config)
-                    buf = []
-                    pending = 0
-            if buf:
-                yield from _prime_group(device_engine, buf, config)
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            # two priming threads pipeline independent groups: one group's
+            # host stages (seeding, session control, packing) overlap the
+            # other's device waves. Yield order stays reader order, so the
+            # BAM output is byte-identical to the host-native run.
+            ex = ThreadPoolExecutor(max_workers=2,
+                                    thread_name_prefix="lariat-prime")
+            futs = deque()
+            try:
+                buf = []
+                pending = 0
+                for item in work_iter():
+                    # while the tunnel's first-transfer warmup stall is in
+                    # flight, keep workers fed through the host path instead
+                    # of blocking the whole pipeline on the device
+                    if device_engine._warmup is not None:
+                        if device_engine._warmup.is_alive():
+                            yield item
+                            continue
+                        device_engine.wait_warmup()
+                    buf.append(item)
+                    pending += len(item[0])
+                    if pending >= 4096:
+                        futs.append(ex.submit(_prime_group, device_engine,
+                                              buf, config))
+                        buf = []
+                        pending = 0
+                        while len(futs) >= 2:
+                            yield from futs.popleft().result()
+                if buf:
+                    futs.append(ex.submit(_prime_group, device_engine, buf,
+                                          config))
+                while futs:
+                    yield from futs.popleft().result()
+            finally:
+                ex.shutdown(wait=False)
 
         for packed in runner.imap(primed_iter()):
             write_packed(bams, packed)

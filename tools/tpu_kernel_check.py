@@ -158,6 +158,21 @@ def main() -> int:
                       f"device={int(got[f][i])} host={int(wv_)}")
                 return 1
     print(f"local kernel: {B} tasks bit-identical to host")
+
+    # --- local wrapper: exercises local_align_batch's score-matrix ->
+    # (match, mismatch, n) translation on the chip (a sign bug hid there
+    # once: kernel-level tests passed while the wrapper rewarded
+    # mismatches) ---
+    tasks = [(q.astype(np.int64), t.astype(np.int64)) for q, t in cases[:64]]
+    out = ksw.local_align_batch(tasks, mat, 6, 1, 6, 1, 19,
+                                backend="pallas")
+    for i, (q, t) in enumerate(tasks):
+        want = ksw.local_align(q, t, mat, 6, 1, 6, 1, 19)
+        if out[i] != want:
+            print(f"local wrapper mismatch task {i}: device={out[i]} "
+                  f"host={want}")
+            return 1
+    print(f"local wrapper: {len(tasks)} tasks bit-identical to host")
     print("TPU_KERNELS_OK")
     return 0
 
