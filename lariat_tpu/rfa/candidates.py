@@ -16,7 +16,7 @@ import numpy as np
 from ..align.engine import AlignmentEngine, EasyAlignment, OP_M, OP_I, OP_D, OP_S
 from ..io.fastq import FastQRecord
 from ..utils.gorand import FastF64, GoRand
-from .scoring import is_pair, score_alignment
+from .scoring import is_pair, pair_total_matrix, score_alignment
 from .types import Alignment, MapQData
 
 
@@ -163,6 +163,7 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
     n = len(barcode_chains)
     filtered: List[List[Alignment]] = [[] for _ in range(n)]
     full: List[List[Alignment]] = [[] for _ in range(n)]
+    contig_ids: dict = {}
     # batched final SW when available: one device wave for every candidate
     sra_cache = None
     if hasattr(engine, "reg2aln_batch"):
@@ -288,13 +289,18 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
             if pos != -1 and reversed_:
                 pos = ch.aend + 1
                 aend = ch.pos + 1
+            contig = sra.chrom if sra else ""
+            cid = contig_ids.get(contig)
+            if cid is None:
+                cid = len(contig_ids)
+                contig_ids[contig] = cid
             aln = Alignment(
                 id=ch.hit_id, aend=aend, fastq=ch.fastq, matches=matches,
                 mismatches=mismatches, mismatch_locs=mismatch_locs,
                 mismatch_read_locs=mismatch_read_locs, indels=indels,
                 soft_clipped=soft_clipping,
                 soft_clipped_length=soft_clipping_length, read1=ch.read1,
-                mapq_data=MapQData(), contig=sra.chrom if sra else "",
+                mapq_data=MapQData(), contig=contig, contig_id=cid,
                 pos=pos, molecule_id=-1, score=ch.score,
                 cigar=cigar, read_id=ch.read_id, mate_id=ch.mate_id,
                 reversed_=reversed_)
@@ -330,9 +336,16 @@ def tag_best_alignments(alignments: List[List[Alignment]],
             seed = seed_u - (1 << 64) if seed_u >= (1 << 63) else seed_u
         seeds.append(seed)
     # few draws per read: precompute a short exact prefix per seed (FastF64
-    # falls back to the full generator for the rare read that outdraws it)
+    # falls back to the full generator for the rare read that outdraws it);
+    # size the prefix to the vectorized pick's draw count (capped at the
+    # fast path's validity bound)
     if seeds:
-        rows = GoRand.batch_first_floats(seeds, 16)
+        k = 16
+        for arr in alignments:
+            if arr:
+                n_m = len(alignments[arr[0].mate_id])
+                k = max(k, len(arr) * n_m if n_m else len(arr))
+        rows = GoRand.batch_first_floats(seeds, min(k, 273))
         randoms = [FastF64(s, rows[i]) for i, s in enumerate(seeds)]
     else:
         randoms = []
@@ -342,28 +355,59 @@ def tag_best_alignments(alignments: List[List[Alignment]],
         best_alignment: Optional[Alignment] = None
         best_mate: Optional[Alignment] = None
         random = randoms[read_id]
-        for aln in arr:
-            if read_id != aln.read_id:
-                raise RuntimeError("read id mismatch")
-            mates = alignments[aln.mate_id]
-            for mate in mates:
-                total = (score_alignment(aln, mate, 0.0, improper_pair_penalty)
-                         + random.float64() / 2.0)
-                if total > best_score:
-                    best_score = total
-                    best_alignment = aln
-                    best_mate = mate
-            if not mates:
-                sc = float(aln.score) + random.float64() / 2.0
-                if sc > best_score:
-                    best_score = sc
-                    best_alignment = aln
-            idx = contigs.get(aln.contig)
-            if idx is not None:
-                positions[idx].append(aln)
+        mates = alignments[arr[0].mate_id] if arr else []
+        n_a, n_m = len(arr), len(mates)
+        n_need = n_a * n_m if n_m else n_a
+        same_mate = all(a.mate_id == arr[0].mate_id for a in arr)
+        if n_need >= 32 and same_mate:
+            # vectorized pick, bit-identical to the scalar loop below: the
+            # draw stream is consumed in the same order, additions replay
+            # the scalar order, and argmax keeps the first maximum exactly
+            # like the strict-> running compare
+            dr = random.float64_n(n_need) / 2.0
+            if n_m:
+                tot = pair_total_matrix(arr, mates, improper_pair_penalty,
+                                        0.0)
+                flat = (tot + dr.reshape(n_a, n_m)).ravel()
             else:
-                contigs[aln.contig] = len(positions)
-                positions.append([aln])
+                flat = np.array([float(a.score) for a in arr]) + dr
+            ki = int(np.argmax(flat))
+            best_score = float(flat[ki])
+            best_alignment = arr[ki // n_m] if n_m else arr[ki]
+            best_mate = mates[ki % n_m] if n_m else None
+            for aln in arr:
+                if read_id != aln.read_id:
+                    raise RuntimeError("read id mismatch")
+                idx = contigs.get(aln.contig)
+                if idx is not None:
+                    positions[idx].append(aln)
+                else:
+                    contigs[aln.contig] = len(positions)
+                    positions.append([aln])
+        else:
+            for aln in arr:
+                if read_id != aln.read_id:
+                    raise RuntimeError("read id mismatch")
+                mates = alignments[aln.mate_id]
+                for mate in mates:
+                    total = (score_alignment(aln, mate, 0.0,
+                                             improper_pair_penalty)
+                             + random.float64() / 2.0)
+                    if total > best_score:
+                        best_score = total
+                        best_alignment = aln
+                        best_mate = mate
+                if not mates:
+                    sc = float(aln.score) + random.float64() / 2.0
+                    if sc > best_score:
+                        best_score = sc
+                        best_alignment = aln
+                idx = contigs.get(aln.contig)
+                if idx is not None:
+                    positions[idx].append(aln)
+                else:
+                    contigs[aln.contig] = len(positions)
+                    positions.append([aln])
         if not was_touched and best_alignment is not None:
             best_alignment.active = True
             best_alignment.bwa_pick = True

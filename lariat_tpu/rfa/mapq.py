@@ -14,7 +14,8 @@ from typing import Dict, List, Optional
 
 from .molecules import set_molecule_confidences, set_molecule_differences
 from .optimizer import fast_score
-from .scoring import pseudo_count_alignment_score, score_alignment
+from .scoring import (pair_total_matrix, pseudo_count_alignment_score,
+                      score_alignment, single_total_vector)
 from .types import Alignment, CandidateMolecule, Region
 
 GENOME_LENGTH = 3.2e9  # hard-coded human genome length (lariat.go:885)
@@ -208,18 +209,39 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
                 if aln.active and mate.active:
                     aln.mate_alignment = mate
                     mate.mate_alignment = aln
-        for aln in arr:
-            mate_arr = alignments[aln.mate_id]
-            best = -float("inf")
-            for mate in mate_arr:
-                s = score_alignment(aln, mate, log_molecule_penalty,
-                                    improper_pair_penalty)
-                if s > best:
-                    best = s
-            if not mate_arr:
-                best = score_alignment(aln, None, log_molecule_penalty,
-                                       improper_pair_penalty)
-            scores.append(best)
+        # best pair score per alignment + the second-best (non-active) pair
+        # scan. The vectorized path is bit-identical to the scalar loops: the
+        # score matrix replays the scalar addition order
+        # (scoring.pair_total_matrix) and the improvement chain of the
+        # strict-> running compare is replayed element by element, including
+        # its mate_alignment side effects.
+        mates0 = alignments[arr[0].mate_id] if arr else []
+        n_a, n_m = len(arr), len(mates0)
+        homog = arr and all(a.mate_id == arr[0].mate_id for a in arr)
+        tot = None
+        if homog and n_a * max(n_m, 1) >= 32:
+            if n_m:
+                tot = pair_total_matrix(arr, mates0, improper_pair_penalty,
+                                        log_molecule_penalty)
+                for b in tot.max(axis=1):
+                    scores.append(float(b))
+            else:
+                for b in single_total_vector(arr, improper_pair_penalty,
+                                             log_molecule_penalty):
+                    scores.append(float(b))
+        else:
+            for aln in arr:
+                mate_arr = alignments[aln.mate_id]
+                best = -float("inf")
+                for mate in mate_arr:
+                    s = score_alignment(aln, mate, log_molecule_penalty,
+                                        improper_pair_penalty)
+                    if s > best:
+                        best = s
+                if not mate_arr:
+                    best = score_alignment(aln, None, log_molecule_penalty,
+                                           improper_pair_penalty)
+                scores.append(best)
 
         # second-best (non-active) pair metadata
         second_best_proper = False
@@ -228,21 +250,42 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
         second_best_mol_reads = -1
         second_best_aln: Optional[Alignment] = None
         second_best_mol_conf = -1.0
-        for aln in arr:
-            for mate in alignments[aln.mate_id]:
-                s = score_alignment(aln, mate, log_molecule_penalty,
-                                    improper_pair_penalty)
-                if not aln.active and s > second_best_logp:
-                    second_best_logp = s
-                    second_best_raw = score_alignment(aln, mate, 0.0,
-                                                      improper_pair_penalty)
-                    second_best_aln = aln
-                    aln.mate_alignment = mate
-                    second_best_proper = aln.is_proper
-                    if aln.molecule_id != -1 and molecules:
-                        alt = molecules[aln.molecule_id]
-                        second_best_mol_conf = alt.molecule_confidence
-                        second_best_mol_reads = len(alt.active_alignments)
+        if tot is not None and n_m:
+            import numpy as _np
+            flat = tot.ravel().copy()
+            flat[_np.repeat(_np.array([a.active for a in arr], bool),
+                            n_m)] = -_np.inf
+            run = _np.maximum.accumulate(
+                _np.concatenate(([_np.float64(-1000.0)], flat)))[:-1]
+            for k in _np.nonzero(flat > run)[0]:
+                i, j = divmod(int(k), n_m)
+                aln, mate = arr[i], mates0[j]
+                second_best_logp = float(flat[k])
+                second_best_raw = score_alignment(aln, mate, 0.0,
+                                                  improper_pair_penalty)
+                second_best_aln = aln
+                aln.mate_alignment = mate
+                second_best_proper = aln.is_proper
+                if aln.molecule_id != -1 and molecules:
+                    alt = molecules[aln.molecule_id]
+                    second_best_mol_conf = alt.molecule_confidence
+                    second_best_mol_reads = len(alt.active_alignments)
+        else:
+            for aln in arr:
+                for mate in alignments[aln.mate_id]:
+                    s = score_alignment(aln, mate, log_molecule_penalty,
+                                        improper_pair_penalty)
+                    if not aln.active and s > second_best_logp:
+                        second_best_logp = s
+                        second_best_raw = score_alignment(
+                            aln, mate, 0.0, improper_pair_penalty)
+                        second_best_aln = aln
+                        aln.mate_alignment = mate
+                        second_best_proper = aln.is_proper
+                        if aln.molecule_id != -1 and molecules:
+                            alt = molecules[aln.molecule_id]
+                            second_best_mol_conf = alt.molecule_confidence
+                            second_best_mol_reads = len(alt.active_alignments)
         dbg_cache: Dict[int, Dict[int, str]] = {}
         for aln in arr:
             if aln.active:

@@ -51,6 +51,69 @@ def score_alignment(aln: Optional[Alignment], mate: Optional[Alignment],
     return score
 
 
+def _read_arrays(arr):
+    """Static per-read score arrays (part0, pos, reversed, contig_id),
+    cached on arr[0] — the covered fields are immutable after
+    GetAlignments. Falls back to per-call string contig ids when an
+    Alignment was built outside get_alignments (contig_id unassigned)."""
+    import numpy as np
+
+    t = arr[0].score_arrays
+    if t is None or len(t[0]) != len(arr):
+        part0 = 0.0 + np.array([_part(a) for a in arr], np.float64)
+        pos = np.array([a.pos for a in arr], np.int64)
+        rev = np.array([a.reversed_ for a in arr], bool)
+        if all(a.contig_id >= 0 for a in arr):
+            cid = np.array([a.contig_id for a in arr], np.int64)
+        else:
+            cid = None
+        t = (part0, pos, rev, cid)
+        if arr[0].score_arrays is None:
+            arr[0].score_arrays = t
+    return t
+
+
+def pair_total_matrix(arr, mates, improper_pair_penalty: float,
+                      log_molecule_penalty: float):
+    """(n_a, n_m) matrix of score_alignment(arr[i], mates[j], lmp, ipp).
+
+    Bit-identical to the scalar calls: the float additions replay the exact
+    scalar order ((0 + part_a) + part_b, then +ipp when not a proper pair,
+    then +lmp when arr[i] has no active molecule).
+    """
+    import numpy as np
+
+    pa, posa, ra, ca = _read_arrays(arr)
+    pm, posm, rm, cm = _read_arrays(mates)
+    if ca is None or cm is None:
+        ids = {}
+        ca = np.array([ids.setdefault(a.contig, len(ids)) for a in arr])
+        cm = np.array([ids.setdefault(m.contig, len(ids)) for m in mates])
+    dist = np.where(ra[:, None], posa[:, None] - posm[None, :],
+                    posm[None, :] - posa[:, None])
+    pair = ((ra[:, None] != rm[None, :]) & (ca[:, None] == cm[None, :])
+            & (dist >= -35) & (dist < 750))
+    tot = pa[:, None] + pm[None, :]
+    tot = np.where(pair, tot, tot + improper_pair_penalty)
+    if log_molecule_penalty != 0.0:
+        act = np.array([a.active_molecule for a in arr], bool)
+        tot = np.where(act[:, None], tot, tot + log_molecule_penalty)
+    return tot
+
+
+def single_total_vector(arr, improper_pair_penalty: float,
+                        log_molecule_penalty: float):
+    """(n_a,) vector of score_alignment(arr[i], None, lmp, ipp)."""
+    import numpy as np
+
+    pa = _read_arrays(arr)[0]
+    tot = pa + improper_pair_penalty
+    if log_molecule_penalty != 0.0:
+        act = np.array([a.active_molecule for a in arr], bool)
+        tot = np.where(act, tot, tot + log_molecule_penalty)
+    return tot
+
+
 def pseudo_count_alignment_score(aln: Alignment,
                                  log_molecule_penalty: float) -> float:
     """psuedoCountAlignmentScore (lariat.go:590-597): hypothetical unmapped

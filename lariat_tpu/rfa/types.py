@@ -125,6 +125,13 @@ class Alignment:
     secondary: Optional["Alignment"] = None   # split-read supplementary
     primary: Optional["Alignment"] = None
     duplicate: bool = False
+    # per-barcode integer contig id (get_alignments); lets the vectorized
+    # scoring compare contigs without string work. -1 = unassigned.
+    contig_id: int = -1
+    # per-read cache of static score arrays, stored on arr[0]
+    # (scoring._read_arrays); fields it covers are immutable after
+    # GetAlignments
+    score_arrays: Optional[tuple] = None
 
     @property
     def read_name(self) -> str:

@@ -250,3 +250,16 @@ class FastF64:
             for _ in range(len(self.row)):
                 self._g.float64()
         return self._g.float64()
+
+    def float64_n(self, k: int) -> np.ndarray:
+        """Next ``k`` draws as a float64 array — the stream is identical to
+        ``k`` successive ``float64()`` calls (vectorized consumers)."""
+        i = self.i
+        m = min(max(len(self.row) - i, 0), k)
+        out = np.empty(k, np.float64)
+        if m:
+            out[:m] = self.row[i:i + m]
+            self.i = i + m
+        for j in range(m, k):
+            out[j] = self.float64()
+        return out
