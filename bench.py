@@ -107,7 +107,9 @@ def _hg38_runs(workdir: str) -> dict:
     compile-cache warmup; report the best (warm) of two per mode.
     """
     fa = os.path.join(HG38_DIR, "hg38sim.fa")
-    reads = os.path.join(HG38_DIR, "sim10k.fastq.gz")
+    reads = os.path.join(HG38_DIR, "sim50k.fastq.gz")
+    if not os.path.exists(reads):
+        reads = os.path.join(HG38_DIR, "sim10k.fastq.gz")
     cents = os.path.join(HG38_DIR, "hg38sim.centromeres.tsv")
     if not os.path.isdir(fa + ".lariat.d") or not os.path.exists(reads):
         return {}

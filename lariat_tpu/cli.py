@@ -8,6 +8,7 @@ Accepts both single-dash (Go style) and double-dash flags.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -95,8 +96,18 @@ def load_reference(genome: str, index_prefix: str = ""):
     return fm
 
 
+# set by run() when a device tunnel RPC may still be in flight on a daemon
+# thread at completion: C++ runtime teardown while it is mid-call aborts the
+# process ("FATAL: exception not rethrown"), so main() hard-exits instead
+_SKIP_TEARDOWN = False
+
+
 def main(argv=None) -> int:
     rc, _ = run(argv)
+    if _SKIP_TEARDOWN:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
     return rc
 
 
@@ -113,6 +124,10 @@ def run(argv=None):
     print(f"Loading reference genome: {args.genome}")
     fm = load_reference(args.genome, args.index)
     print("Reference loaded")
+    if fm.l_pac > fmindex.FMIndex.CODES_CACHE_MAX:
+        # genomes past the auto-cache bound (hg38-scale) still want the
+        # unpacked-codes cache; build it pre-fork so workers share it CoW
+        fm.ensure_codes_cache()
     engine = AlignmentEngine(fm)
     config = RFAConfig(improper_pair_penalty=args.improper_pair_penalty)
     centromeres = load_centromeres(args.centromeres or None)
@@ -220,6 +235,13 @@ def run(argv=None):
             stats.total_mapq10 += packed.stats[2]
             stats.correct_mapq10 += packed.stats[3]
         runner.close()
+        if device_engine is not None:
+            w = device_engine._warmup
+            if w is not None:
+                w.join(timeout=2.0)
+                if w.is_alive():
+                    global _SKIP_TEARDOWN
+                    _SKIP_TEARDOWN = True
     else:
         profiler = None
         if args.profile:

@@ -214,6 +214,14 @@ class FMIndex:
     # Workers forked after the first fetch share the cache copy-on-write.
     CODES_CACHE_MAX = 1 << 31
 
+    def ensure_codes_cache(self) -> None:
+        """Unpack the full 2-bit pac to a byte-per-base cache even past
+        CODES_CACHE_MAX (1 byte/base, ~3.1 GB for hg38). The CLI calls this
+        BEFORE forking workers so the cache is shared copy-on-write instead
+        of being skipped (per-window unpack) in every worker."""
+        if getattr(self, "_codes_cache", None) is None:
+            self._codes_cache = unpack_2bit(self.pac, self.l_pac)
+
     def get_seq_codes(self, start: int, end: int) -> np.ndarray:
         """Base codes of the forward pac in global coords [start, end)."""
         start = max(0, int(start))
