@@ -128,6 +128,8 @@ def run(argv=None):
         # genomes past the auto-cache bound (hg38-scale) still want the
         # unpacked-codes cache; build it pre-fork so workers share it CoW
         fm.ensure_codes_cache()
+    # hugepage-migrate the FM hot arrays pre-fork (no-op for small genomes)
+    fm.ensure_native_hot()
     engine = AlignmentEngine(fm)
     config = RFAConfig(improper_pair_penalty=args.improper_pair_penalty)
     centromeres = load_centromeres(args.centromeres or None)

@@ -290,6 +290,76 @@ int64_t sa_lookup(const FMView& fm, int64_t k) {
   return fm.sa_samples[k / fm.sa_intv] + steps;
 }
 
+// Issue prefetches for the cache lines the next LF step (or the final
+// sa_samples read) at row k will touch. At genome scale every step is a
+// DRAM miss into the multi-GB BWT/occ arrays, so a single in-order walk is
+// latency-bound (~0.5 us/step measured at 3.1 Gbp); the interleaved walker
+// below keeps many independent walks in flight so those misses overlap.
+inline void sa_prefetch(const FMView& fm, int64_t k) {
+  if (k % fm.sa_intv == 0) {
+    __builtin_prefetch(fm.sa_samples + k / fm.sa_intv);
+    return;
+  }
+  if (k == fm.primary) return;
+  int64_t kk = k;
+  if (kk >= fm.primary) --kk;
+  int64_t blk = (kk + 1) / OCC_INTERVAL;
+  // covers both bwt_code_at's word (kx>>4 lies in [blk*8, blk*8+8)) and
+  // occ_one's popcount words; occ checkpoint row is a separate line
+  __builtin_prefetch(fm.bwt_words + blk * WORDS_PER_BLOCK);
+  __builtin_prefetch(fm.occ_ckpt + blk * 4);
+}
+
+// Dereference rows[0..n) into out[0..n) with W walks interleaved. Result is
+// bit-identical to calling sa_lookup per row (each walk is independent and
+// deterministic; only the interleaving order differs).
+void sa_lookup_interleaved(const FMView& fm, const int64_t* rows, int64_t n,
+                           int64_t* out) {
+  constexpr int W = 64;
+  if (n < W * 2) {
+    for (int64_t i = 0; i < n; ++i) out[i] = sa_lookup(fm, rows[i]);
+    return;
+  }
+  struct Lane {
+    int64_t k, steps, idx;
+  };
+  Lane lanes[W];
+  int active = 0;
+  int64_t next = 0;
+  while (active < W && next < n) {
+    lanes[active] = {rows[next], 0, next};
+    sa_prefetch(fm, lanes[active].k);
+    ++active;
+    ++next;
+  }
+  while (active > 0) {
+    for (int i = 0; i < active;) {
+      Lane& L = lanes[i];
+      if (L.k % fm.sa_intv == 0) {
+        out[L.idx] = fm.sa_samples[L.k / fm.sa_intv] + L.steps;
+        if (next < n) {
+          L = {rows[next], 0, next};
+          ++next;
+          sa_prefetch(fm, L.k);
+          ++i;
+        } else {
+          L = lanes[--active];  // swapped-in lane was already prefetched
+        }
+      } else {
+        ++L.steps;
+        if (L.k == fm.primary) {
+          L.k = 0;
+        } else {
+          int c = bwt_code_at(fm, L.k);
+          L.k = fm.L2[c] + occ_one(fm, L.k, c);
+        }
+        sa_prefetch(fm, L.k);
+        ++i;
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -389,13 +459,15 @@ int64_t fm_collect_seeds_rbegs_batch(
   int workers = static_cast<int>(
       std::max<int64_t>(1, std::min<int64_t>(n_threads, total)));
   if (total < 1024 || workers == 1) {
-    for (int64_t i = 0; i < total; ++i) rb_out[i] = sa_lookup(fm, rows[i]);
+    sa_lookup_interleaved(fm, rows.data(), total, rb_out);
   } else {
     std::vector<std::thread> threads;
+    int64_t chunk = (total + workers - 1) / workers;
     for (int t = 0; t < workers; ++t)
-      threads.emplace_back([&, t, workers]() {
-        for (int64_t i = t; i < total; i += workers)
-          rb_out[i] = sa_lookup(fm, rows[i]);
+      threads.emplace_back([&, t]() {
+        int64_t lo = t * chunk, hi = std::min<int64_t>(total, lo + chunk);
+        if (lo < hi)
+          sa_lookup_interleaved(fm, rows.data() + lo, hi - lo, rb_out + lo);
       });
     for (auto& th : threads) th.join();
   }
@@ -412,13 +484,15 @@ void fm_sa_lookup_batch(const uint32_t* bwt_words, const int64_t* occ_ckpt,
   int workers = static_cast<int>(
       std::max<int64_t>(1, std::min<int64_t>(n_threads, n)));
   if (n < 1024 || workers == 1) {
-    for (int64_t i = 0; i < n; ++i) out[i] = sa_lookup(fm, rows[i]);
+    sa_lookup_interleaved(fm, rows, n, out);
     return;
   }
   std::vector<std::thread> threads;
+  int64_t chunk = (n + workers - 1) / workers;
   for (int t = 0; t < workers; ++t) {
-    threads.emplace_back([&, t, workers]() {
-      for (int64_t i = t; i < n; i += workers) out[i] = sa_lookup(fm, rows[i]);
+    threads.emplace_back([&, t]() {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      if (lo < hi) sa_lookup_interleaved(fm, rows + lo, hi - lo, out + lo);
     });
   }
   for (auto& th : threads) th.join();
