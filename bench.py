@@ -82,7 +82,7 @@ def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
     t0 = time.time()
     proc = subprocess.run(
         [sys.executable, "-m", "lariat_tpu.cli", "-reads", reads,
-         "-genome", fa, "-output", outdir, "-threads", "4",
+         "-genome", fa, "-output", outdir, "-threads", "5",
          "-use_device", use_device, *extra],
         env={**os.environ, "PYTHONPATH": REPO + (
              ":" + os.environ["PYTHONPATH"]
@@ -122,7 +122,7 @@ def _hg38_runs(workdir: str) -> dict:
                 workdir, f"hg38_{mode}{i}"), mode, extra)
             runs.append(r)
         ok = [r for r in runs if "pairs_s" in r]
-        key = "hg38_host_4w" if mode == "off" else "hg38_device_4w"
+        key = "hg38_host_5w" if mode == "off" else "hg38_device_5w"
         out[key] = (max(ok, key=lambda r: r["pairs_s"]) if ok else runs[-1])
         out[key + "_runs"] = [r.get("pairs_s", 0.0) for r in runs]
     return out
@@ -183,14 +183,14 @@ def main() -> None:
     host = _run_cli(fa, reads, os.path.join(workdir, "out_host"), "off")
     dev = _run_cli(fa, reads, os.path.join(workdir, "out_dev"), "auto")
 
-    candidates = {"cli_host_native_4w": host, "cli_device_primed_4w": dev}
+    candidates = {"cli_host_native_5w": host, "cli_device_primed_5w": dev}
     best_name, best = max(
         ((k, v) for k, v in candidates.items() if "pairs_s" in v),
         key=lambda kv: kv[1]["pairs_s"], default=(None, None))
 
     detail = {
         "config": f"{N_BARCODES} barcodes x {PAIRS_PER_BC} pairs, 151bp, "
-                  "4.6Mb genome + segdup, sa_intv=32, 4 workers",
+                  "4.6Mb genome + segdup, sa_intv=32, 5 workers",
         "best_config": best_name,
         "index_build_s": round(t_index, 1),
         **{k: v for k, v in candidates.items()},

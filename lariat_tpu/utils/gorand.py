@@ -216,6 +216,35 @@ class GoRand:
         self.vec[self.feed] = x
         return x
 
+    def uint64_n(self, k: int) -> np.ndarray:
+        """Next ``k`` raw draws as uint64 array — bit-exact with ``k``
+        successive ``uint64()`` calls.
+
+        Chunks cap at RNG_TAP draws and at the tap/feed wrap boundaries:
+        within such a chunk, draw j writes vec[feed-j] which no later
+        in-chunk draw reads (a collision needs j'-j = RNG_TAP), so each
+        chunk is one elementwise wrap-around add over pre-chunk state.
+        """
+        out = np.empty(k, np.uint64)
+        vec = np.asarray(self.vec, dtype=np.uint64)
+        tap, feed = self.tap, self.feed
+        done = 0
+        while done < k:
+            ts = tap - 1 if tap > 0 else RNG_LEN - 1   # pre-decremented
+            fs = feed - 1 if feed > 0 else RNG_LEN - 1
+            b = min(RNG_TAP, ts + 1, fs + 1, k - done)
+            f_sl = vec[fs - b + 1: fs + 1][::-1]
+            t_sl = vec[ts - b + 1: ts + 1][::-1]
+            x = f_sl + t_sl                      # uint64 add wraps mod 2^64
+            vec[fs - b + 1: fs + 1] = x[::-1]
+            out[done:done + b] = x
+            done += b
+            tap = ts - b + 1
+            feed = fs - b + 1
+        self.tap, self.feed = tap, feed
+        self.vec = vec.tolist()
+        return out
+
     def int63(self) -> int:
         return self.uint64() & ((1 << 63) - 1)
 
@@ -228,28 +257,64 @@ class GoRand:
 
 class FastF64:
     """Sequential Float64 cursor over a precomputed batch_first_floats row;
-    transparently falls back to the full generator past the prefix (exact:
-    the fallback discards exactly the draws already served, so retry
-    consumption stays consistent)."""
+    transparently falls back to the full generator past the prefix.
 
-    __slots__ = ("seed", "row", "i", "_g")
+    The fallback serves from vectorized blocks: Go's Float64 stream is
+    exactly the uint64 stream filtered of values whose top 63 bits round to
+    1.0 (the retry loop re-draws), so ``uint64_n`` + a mask replay it
+    bit-exactly — including the discard of the prefix already served from
+    ``row``, whose overshoot becomes the first buffered block.
+    """
+
+    __slots__ = ("seed", "row", "i", "_g", "_buf", "_bi")
+
+    _M63 = np.uint64((1 << 63) - 1)
+    _SCALE = float(1 << 63)
 
     def __init__(self, seed: int, row: np.ndarray):
         self.seed = seed
         self.row = row
         self.i = 0
         self._g = None
+        self._buf = None
+        self._bi = 0
+
+    def _draw_floats(self, k: int) -> np.ndarray:
+        u = self._g.uint64_n(k)
+        f = (u & self._M63).astype(np.float64) / self._SCALE
+        return f[f != 1.0]
+
+    def _refill(self) -> None:
+        if self._g is None:
+            self._g = GoRand(self.seed)
+            disc = len(self.row)       # draws already served from the row
+            while disc > 0:
+                f = self._draw_floats(disc + 32)
+                if len(f) >= disc:
+                    self._buf = f[disc:]
+                    self._bi = 0
+                    disc = 0
+                else:
+                    disc -= len(f)
+            if self._buf is not None and self._bi < len(self._buf):
+                return
+        while True:
+            f = self._draw_floats(512)
+            if len(f):
+                self._buf = f
+                self._bi = 0
+                return
 
     def float64(self) -> float:
         i = self.i
         self.i = i + 1
         if i < len(self.row):
             return float(self.row[i])
-        if self._g is None:
-            self._g = GoRand(self.seed)
-            for _ in range(len(self.row)):
-                self._g.float64()
-        return self._g.float64()
+        if self._buf is None or self._bi >= len(self._buf):
+            self._refill()
+        v = float(self._buf[self._bi])
+        self._bi += 1
+        return v
 
     def float64_n(self, k: int) -> np.ndarray:
         """Next ``k`` draws as a float64 array — the stream is identical to
@@ -260,6 +325,13 @@ class FastF64:
         if m:
             out[:m] = self.row[i:i + m]
             self.i = i + m
-        for j in range(m, k):
-            out[j] = self.float64()
+        j = m
+        while j < k:
+            if self._buf is None or self._bi >= len(self._buf):
+                self._refill()
+            take = min(k - j, len(self._buf) - self._bi)
+            out[j:j + take] = self._buf[self._bi:self._bi + take]
+            self._bi += take
+            self.i += take
+            j += take
         return out
