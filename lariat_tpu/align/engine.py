@@ -145,10 +145,20 @@ class AlignmentEngine:
         Consulted at replay time: earlier rescues in the same pair append to
         ``mate_regs`` and change later skip decisions."""
         pes = self.pair
-        # only the FR orientation (r=1) is configured (gobwa.go:230-237)
+        # only the FR orientation (r=1) is configured (gobwa.go:230-237);
+        # inlined _infer_dir: r==1 iff opposite strands and p2 > b1, where
+        # dist is then p2 - b1 (hot loop: ~30 regs per rescue decision)
+        l_pac = self.fm.l_pac
+        b1 = anchor.rb
+        r1 = b1 >= l_pac
+        flip = (l_pac << 1) - 1
+        lo, hi = pes.low, pes.high
         for m in mate_regs:
-            r, dist = self._infer_dir(anchor.rb, m.rb)
-            if r == 1 and pes.low <= dist <= pes.high:
+            b2 = m.rb
+            if (b2 >= l_pac) == r1:
+                continue
+            p2 = flip - b2
+            if p2 > b1 and lo <= p2 - b1 <= hi:
                 return True
         return False
 

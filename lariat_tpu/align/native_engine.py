@@ -120,8 +120,8 @@ def reg2aln_batch(fm, opt, tasks) -> Optional[list]:
         cap *= 4
     contigs = fm.contigs
     for (k, qb, qe, rb, re, truesc, w), (idx, mrow) in zip(
-            rows, zip(live, meta)):
-        pos, rid, is_rev, nm, n_pairs, coff = (int(v) for v in mrow)
+            rows, zip(live, meta.tolist())):
+        pos, rid, is_rev, nm, n_pairs, coff = mrow
         flatc = cig[2 * coff:2 * (coff + n_pairs)].tolist()
         cigar = tuple(zip(flatc[0::2], flatc[1::2]))
         reg = tasks[idx][1]
@@ -198,6 +198,22 @@ def mismatch_walk_batch(walks) -> Optional[list]:
     return out
 
 
+def _regs_from_rows(out: np.ndarray, counts, offs, n: int, total: int
+                    ) -> List[List[AlnReg]]:
+    """(total, 14) float rows -> per-read AlnReg lists. Bulk .tolist()
+    conversion: per-element numpy scalar indexing costs ~100 ns each and
+    the row count is ~10 per pair."""
+    ints = out[:total, :13].astype(np.int64).tolist()
+    fracs = out[:total, 13].tolist()
+    offs_l = offs.tolist()
+    counts_l = counts.tolist()
+    result: List[List[AlnReg]] = []
+    for i in range(n):
+        o, c = offs_l[i], counts_l[i]
+        result.append([AlnReg(*ints[k], fracs[k]) for k in range(o, o + c)])
+    return result
+
+
 def align1_batch(fm, opt, qs: Sequence[np.ndarray],
                  mems_list: Sequence, rbegs_list: Sequence
                  ) -> Optional[List[List[AlnReg]]]:
@@ -256,21 +272,7 @@ def align1_batch(fm, opt, qs: Sequence[np.ndarray],
         if total >= 0:
             break
         cap *= 4
-    result: List[List[AlnReg]] = []
-    rows = out
-    for i in range(n):
-        o, c = int(offs[i]), int(counts[i])
-        lst = []
-        for k in range(o, o + c):
-            row = rows[k]
-            lst.append(AlnReg(
-                rb=int(row[0]), re=int(row[1]), qb=int(row[2]),
-                qe=int(row[3]), rid=int(row[4]), score=int(row[5]),
-                truesc=int(row[6]), sub=int(row[7]), csub=int(row[8]),
-                seedcov=int(row[9]), w=int(row[10]), seedlen0=int(row[11]),
-                n_comp=int(row[12]), frac_rep=float(row[13])))
-        result.append(lst)
-    return result
+    return _regs_from_rows(out, counts, offs, n, int(total))
 
 
 class Align1Session:
@@ -410,21 +412,7 @@ class Align1Session:
             if total >= 0:
                 break
             cap *= 4
-        result = []
-        for i in range(n):
-            o, c = int(offs[i]), int(counts[i])
-            lst = []
-            for k in range(o, o + c):
-                row = out[k]
-                lst.append(AlnReg(
-                    rb=int(row[0]), re=int(row[1]), qb=int(row[2]),
-                    qe=int(row[3]), rid=int(row[4]), score=int(row[5]),
-                    truesc=int(row[6]), sub=int(row[7]), csub=int(row[8]),
-                    seedcov=int(row[9]), w=int(row[10]),
-                    seedlen0=int(row[11]), n_comp=int(row[12]),
-                    frac_rep=float(row[13])))
-            result.append(lst)
-        return result
+        return _regs_from_rows(out, counts, offs, n, int(total))
 
     def close(self):
         if self.handle:
