@@ -252,7 +252,10 @@ class FMIndex:
             src = np.ascontiguousarray(src)
             if src.nbytes < self._HOT_MIN_BYTES:
                 continue
-            buf = _mmap.mmap(-1, src.nbytes)
+            try:
+                buf = _mmap.mmap(-1, src.nbytes)
+            except (OSError, ValueError, OverflowError):
+                continue  # low-RAM host: keep the file-backed mapping
             try:
                 buf.madvise(_mmap.MADV_HUGEPAGE)
             except (AttributeError, OSError):

@@ -84,3 +84,46 @@ def test_fused_seeds_rbegs_matches_separate(dup_genome):  # noqa: F811
         want = (native_ops.sa_lookup_batch(fm, rows) if len(rows)
                 else np.zeros(0, np.int64))
         assert np.array_equal(rbegs_f[i], want), i
+
+
+def test_interleaved_sa_lookup_threaded(phix):
+    """Chunked multi-thread interleaved walker == scalar sa_lookup."""
+    rng = np.random.default_rng(53)
+    rows = rng.integers(1, phix.seq_len + 1, 3000).astype(np.int64)
+    old = native_ops.N_THREADS
+    try:
+        native_ops.N_THREADS = 3
+        got = native_ops.sa_lookup_batch(phix, rows)
+    finally:
+        native_ops.N_THREADS = old
+    assert got is not None
+    want = np.array([phix.sa_lookup(int(r)) for r in rows], np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_ensure_native_hot_parity(phix):
+    """Hugepage-migrated arrays leave every native result unchanged.
+
+    The size gate keeps this path off for test fixtures, so force it."""
+    rng = np.random.default_rng(54)
+    rows = rng.integers(1, phix.seq_len + 1, 300).astype(np.int64)
+    reads = [np.asarray(
+        fmindex.unpack_2bit(phix.pac, phix.l_pac)[i * 37:i * 37 + 80],
+        np.uint8).copy() for i in range(8)]
+    opt = AlignerConfig()
+    before_sa = native_ops.sa_lookup_batch(phix, rows)
+    before_seeds = native_ops.collect_seeds_batch(phix, reads, opt)
+    old_words = np.asarray(phix.packed_words).copy()
+    old_gate = fmindex.FMIndex._HOT_MIN_BYTES
+    try:
+        fmindex.FMIndex._HOT_MIN_BYTES = 0
+        phix.ensure_native_hot()
+        assert getattr(phix, "_hot_bufs", None)
+        assert np.array_equal(np.asarray(phix.packed_words), old_words)
+        after_sa = native_ops.sa_lookup_batch(phix, rows)
+        after_seeds = native_ops.collect_seeds_batch(phix, reads, opt)
+    finally:
+        fmindex.FMIndex._HOT_MIN_BYTES = old_gate
+    assert np.array_equal(before_sa, after_sa)
+    for a, b in zip(before_seeds, after_seeds):
+        assert np.array_equal(a, b)
