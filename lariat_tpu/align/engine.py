@@ -235,6 +235,12 @@ class AlignmentEngine:
         opt = self.opt
         if local_align_fn is None:
             def local_align_fn(tasks):
+                nat = ksw.local_align_batch_native(
+                    tasks, self.mat, opt.gap_open_del, opt.gap_extend_del,
+                    opt.gap_open_ins, opt.gap_extend_ins,
+                    opt.min_seed_len * opt.match_score)
+                if nat is not None:
+                    return nat
                 return [ksw.local_align(
                     rev.astype(np.int64), ref.astype(np.int64), self.mat,
                     opt.gap_open_del, opt.gap_extend_del, opt.gap_open_ins,

@@ -65,6 +65,10 @@ def _get_native():
                                    p, p, ctypes.c_int32]
     lib.ksw_local_one.restype = None
     lib.ksw_local_one.argtypes = [p, c, p, c, c, c, c, c, c, c, c, c, p]
+    if hasattr(lib, "ksw_local_batch"):
+        lib.ksw_local_batch.restype = None
+        lib.ksw_local_batch.argtypes = [p, p, p, p, ctypes.c_int64,
+                                        c, c, c, c, c, c, c, c, p]
     _native_lib = lib
     return _native_lib
 
@@ -428,6 +432,39 @@ def local_align(query: np.ndarray, target: np.ndarray, mat: np.ndarray,
     qb = qe - qe_r
     tb = te - te_r
     return LocalResult(score, qb, qe, tb, te, score2, te2)
+
+
+def local_align_batch_native(tasks, mat: np.ndarray, o_del: int, e_del: int,
+                             o_ins: int, e_ins: int, minsc: int
+                             ) -> Optional[List[LocalResult]]:
+    """Host-batched ``local_align``: one FFI call for all (query, target)
+    tasks (mate rescue runs ~1 DP per pair; per-call ctypes packing costs
+    ~50 us). Bit-identical per task to ``local_align``; None when the
+    native library or the regular matrix structure is unavailable."""
+    lib = _get_native()
+    if lib is None or not hasattr(lib, "ksw_local_batch"):
+        return None
+    params = _mat_params(np.asarray(mat))
+    if params is None:
+        return None
+    n = len(tasks)
+    if n == 0:
+        return []
+    q_off = np.zeros(n + 1, np.int64)
+    t_off = np.zeros(n + 1, np.int64)
+    for i, (q, t) in enumerate(tasks):
+        q_off[i + 1] = q_off[i] + len(q)
+        t_off[i + 1] = t_off[i] + len(t)
+    qs = (np.concatenate([_as_u8(q) for q, _ in tasks])
+          if q_off[-1] else np.zeros(1, np.uint8))
+    ts = (np.concatenate([_as_u8(t) for _, t in tasks])
+          if t_off[-1] else np.zeros(1, np.uint8))
+    out = np.empty((n, 7), np.int32)
+    lib.ksw_local_batch(
+        qs.ctypes.data, q_off.ctypes.data, ts.ctypes.data, t_off.ctypes.data,
+        ctypes.c_int64(n), o_del, e_del, o_ins, e_ins, minsc,
+        params[0], params[1], params[2], out.ctypes.data)
+    return [LocalResult(*row) for row in out.tolist()]
 
 
 def _pad_tier(n: int, tiers) -> int:

@@ -103,6 +103,19 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
                     flat_r[slot] = rg
                 barcode_regs = [(flat_r[2 * i], flat_r[2 * i + 1])
                                 for i in range(len(reads))]
+                if hasattr(engine, "rescue_pairs_batch"):
+                    # batch the whole barcode's mate-rescue DPs into one
+                    # native call (bit-identical replay, engine.py:224),
+                    # then finish each pair with rescue already applied
+                    enc = [(encode_read(rec.read1), encode_read(rec.read2))
+                           for rec in reads]
+                    engine.rescue_pairs_batch(
+                        [(q1, q2, r1, r2) for (q1, q2), (r1, r2)
+                         in zip(enc, barcode_regs)], score_delta)
+                    pair_results = [
+                        engine.finish_pair(q1, q2, r1, r2, score_delta,
+                                           skip_rescue=True)
+                        for (q1, q2), (r1, r2) in zip(enc, barcode_regs)]
             else:
                 from ..align.seeding import Intv
                 flat = [None] * (2 * len(reads))

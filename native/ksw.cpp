@@ -407,6 +407,25 @@ void ksw_local_one(const uint8_t* query, int qlen, const uint8_t* target,
   out[6] = fwd[4];
 }
 
+// Batched ksw_local_one: one FFI call for a whole barcode's mate-rescue
+// DPs (per-call ctypes packing costs ~50 us; rescue runs ~1 DP per pair).
+// queries/targets are concatenated code arrays delimited by q_off/t_off
+// (n+1 entries each); out is (n, 7) int32 rows in ksw_local_one layout.
+void ksw_local_batch(const uint8_t* queries, const int64_t* q_off,
+                     const uint8_t* targets, const int64_t* t_off,
+                     int64_t n, int o_del, int e_del, int o_ins, int e_ins,
+                     int minsc, int match_sc, int mismatch_sc, int n_sc,
+                     int32_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    ksw_local_one(queries + q_off[i],
+                  static_cast<int>(q_off[i + 1] - q_off[i]),
+                  targets + t_off[i],
+                  static_cast<int>(t_off[i + 1] - t_off[i]),
+                  o_del, e_del, o_ins, e_ins, minsc, match_sc, mismatch_sc,
+                  n_sc, out + i * 7);
+  }
+}
+
 }  // extern "C"
 
 namespace {

@@ -135,3 +135,30 @@ def test_local_align_batch_empty_and_edge():
     for got, (qi, ti) in zip(out, [(e, s), (s, e), (s, s)]):
         ref = ksw.local_align(qi, ti, mat, 6, 1, 6, 1, 2)
         assert got == ref
+
+
+def test_local_align_batch_native_matches_scalar():
+    """One-FFI-call host batch == per-task ksw.local_align (fuzz)."""
+    import numpy as np
+    from lariat_tpu.align import ksw
+
+    rng = np.random.default_rng(77)
+    mat = ksw.fill_score_matrix(1, 4)
+    tasks = []
+    for _ in range(60):
+        lq = int(rng.integers(1, 160))
+        lt = int(rng.integers(1, 500))
+        q = rng.integers(0, 5, lq).astype(np.uint8)
+        t = rng.integers(0, 5, lt).astype(np.uint8)
+        if lt > lq:  # plant the query so positive scores occur
+            off = int(rng.integers(0, lt - lq))
+            t[off:off + lq] = q[:lq]
+        tasks.append((q, t))
+    got = ksw.local_align_batch_native(tasks, mat, 6, 1, 6, 1, 19)
+    if got is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    for (q, t), g in zip(tasks, got):
+        want = ksw.local_align(q.astype(np.int64), t.astype(np.int64), mat,
+                               6, 1, 6, 1, 19)
+        assert g == want
