@@ -124,19 +124,16 @@ class _ExtBatcher:
                 o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                 o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
                 end_bonus=opt.pen_clip5, zdrop=opt.zdrop,
-                match_sc=opt.match_score, mismatch_sc=-opt.mismatch_penalty)
+                match_sc=opt.match_score, mismatch_sc=-opt.mismatch_penalty,
+                packed=True)
         else:
             res = sw_batch.extend_batch(
                 qa, qlen, ta, tlen, mat, w, h0,
                 o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                 o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
-                end_bonus=opt.pen_clip5, zdrop=opt.zdrop)
-        score = np.asarray(res.score)
-        qle = np.asarray(res.qle)
-        tle = np.asarray(res.tle)
-        gtle = np.asarray(res.gtle)
-        gscore = np.asarray(res.gscore)
-        moff = np.asarray(res.max_off)
+                end_bonus=opt.pen_clip5, zdrop=opt.zdrop, packed=True)
+        rows = np.asarray(res)   # ONE transfer: (6+, Bp)
+        score, qle, tle, gtle, gscore, moff = (rows[k] for k in range(6))
         for i, t in enumerate(self.tasks):
             self.results[t.key] = ksw.ExtendResult(
                 int(score[i]), int(qle[i]), int(tle[i]), int(gtle[i]),
@@ -268,13 +265,13 @@ class BatchAlignmentEngine(AlignmentEngine):
                     res = extend_batch_pallas(
                         q, qlen, t, tlen, mat, w, h0,
                         match_sc=opt.match_score,
-                        mismatch_sc=-opt.mismatch_penalty, **kw)
+                        mismatch_sc=-opt.mismatch_penalty, packed=True, **kw)
                 else:
                     res = sw_batch.extend_batch(q, qlen, t, tlen, mat, w, h0,
-                                                **kw)
-                sess.feed(np.asarray(res.score), np.asarray(res.qle),
-                          np.asarray(res.tle), np.asarray(res.gtle),
-                          np.asarray(res.gscore), np.asarray(res.max_off))
+                                                packed=True, **kw)
+                rows = np.asarray(res)   # ONE transfer per wave: (6+, B)
+                sess.feed(rows[0], rows[1], rows[2], rows[3], rows[4],
+                          rows[5])
                 if dbg:
                     print(f"[wave] phase={sess.phase()} B={len(qlen)} "
                           f"q={q.shape[1]} t={t.shape[1]} "

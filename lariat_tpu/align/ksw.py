@@ -484,62 +484,17 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
                       interpret: bool = False) -> List[LocalResult]:
     """Device-batched ksw_align2 for many (query, target) tasks.
 
-    Two device waves: the forward local SW over every task, then the
-    reversed-prefix pass (start coordinates) over the tasks that scored.
+    ONE device dispatch and ONE result download for the whole batch: the
+    forward local SW and the reversed-prefix start-coordinate pass both run
+    inside a single jit (ops/sw_local_pallas.local_two_pass_pallas or the
+    XLA twin) — round trips dominate on remote-tunnel TPU deployments.
     Bit-identical per task to ``local_align`` (mem_matesw's DP,
     gobwa.go:287-324); tests/test_sw_local.py asserts it.
     """
     B = len(tasks)
     if B == 0:
         return []
-    big = 1 << 30
     results: List[LocalResult] = [None] * B  # type: ignore[list-item]
-
-    def run_wave(wave, minscs):
-        Lq = _pad_tier(max(len(q) for q, _ in wave), q_tiers)
-        Lt = _pad_tier(max(len(t) for _, t in wave), t_tiers)
-        n = len(wave)
-        # pad the batch dim to power-of-two buckets: each distinct shape is
-        # a fresh (minutes-long, remote) Mosaic compile, and task counts
-        # vary per call
-        Bp = 128
-        while Bp < n:
-            Bp <<= 1
-        # uint8 buffers (codes 0..4): the device entry points cast to int32
-        # on-chip, and the 4x smaller upload matters over a remote TPU link
-        qa = np.zeros((Bp, Lq), np.uint8)
-        ta = np.zeros((Bp, Lt), np.uint8)
-        qlen = np.zeros(Bp, np.int32)
-        tlen = np.zeros(Bp, np.int32)
-        if len(minscs) != Bp:
-            m = np.full(Bp, 1 << 30, minscs.dtype)
-            m[:n] = minscs[:n]
-            minscs = m
-        for i, (qi, ti) in enumerate(wave):
-            qa[i, :len(qi)] = qi
-            ta[i, :len(ti)] = ti
-            qlen[i] = len(qi)
-            tlen[i] = len(ti)
-        if backend == "pallas":
-            from ..ops.sw_local_pallas import local_batch_pallas
-            params = _mat_params(np.asarray(mat))
-            if params is None:
-                raise ValueError("pallas local kernel needs a uniform matrix")
-            res = local_batch_pallas(
-                qa, qlen, ta, tlen, np.asarray(minscs, np.int32),
-                o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
-                match_sc=params[0], mismatch_sc=params[1], n_sc=params[2],
-                interpret=interpret)
-        else:
-            from ..ops.sw_local_batch import local_batch
-            res = local_batch(qa, qlen, ta, tlen,
-                              np.asarray(mat, np.int64),
-                              np.asarray(minscs, np.int32),
-                              o_del=o_del, e_del=e_del, o_ins=o_ins,
-                              e_ins=e_ins, max_sc=int(np.asarray(mat).max()))
-        return (np.asarray(res.score), np.asarray(res.te),
-                np.asarray(res.qe), np.asarray(res.score2),
-                np.asarray(res.te2))
 
     fwd_idx = [i for i, (q, t) in enumerate(tasks) if len(q) and len(t)]
     for i, (q, t) in enumerate(tasks):
@@ -547,25 +502,54 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
             results[i] = LocalResult(0, -1, -1, -1, -1, -1, -1)
     if not fwd_idx:
         return results
-    score, te, qe, score2, te2 = run_wave(
-        [tasks[i] for i in fwd_idx], np.full(len(fwd_idx), minsc, np.int32))
-    rev_wave = []
-    rev_pos = []
+    wave = [tasks[i] for i in fwd_idx]
+    Lq = _pad_tier(max(len(q) for q, _ in wave), q_tiers)
+    Lt = _pad_tier(max(len(t) for _, t in wave), t_tiers)
+    n = len(wave)
+    # pad the batch dim to power-of-two buckets: each distinct shape is
+    # a fresh (minutes-long, remote) Mosaic compile, and task counts
+    # vary per call
+    Bp = 128
+    while Bp < n:
+        Bp <<= 1
+    # uint8 buffers (codes 0..4): the device entry points cast to int32
+    # on-chip, and the 4x smaller upload matters over a remote TPU link
+    qa = np.zeros((Bp, Lq), np.uint8)
+    ta = np.zeros((Bp, Lt), np.uint8)
+    qlen = np.zeros(Bp, np.int32)
+    tlen = np.zeros(Bp, np.int32)
+    minscs = np.full(Bp, 1 << 30, np.int32)
+    minscs[:n] = minsc
+    for i, (qi, ti) in enumerate(wave):
+        qa[i, :len(qi)] = qi
+        ta[i, :len(ti)] = ti
+        qlen[i] = len(qi)
+        tlen[i] = len(ti)
+    if backend == "pallas":
+        from ..ops.sw_local_pallas import local_two_pass_pallas
+        params = _mat_params(np.asarray(mat))
+        if params is None:
+            raise ValueError("pallas local kernel needs a uniform matrix")
+        out = local_two_pass_pallas(
+            qa, qlen, ta, tlen, minscs,
+            o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+            match_sc=params[0], mismatch_sc=params[1], n_sc=params[2],
+            interpret=interpret)
+    else:
+        from ..ops.sw_local_batch import local_two_pass
+        out = local_two_pass(qa, qlen, ta, tlen,
+                             np.asarray(mat, np.int64), minscs,
+                             o_del=o_del, e_del=e_del, o_ins=o_ins,
+                             e_ins=e_ins, max_sc=int(np.asarray(mat).max()))
+    rows = np.asarray(out)        # single transfer: (8, Bp)
+    score, te, qe, score2, te2, qe_r, te_r, scored = (
+        rows[k].tolist() for k in range(8))
     for k, i in enumerate(fwd_idx):
-        if te[k] < 0 or score[k] < minsc:
-            results[i] = LocalResult(int(score[k]), -1, -1, -1, -1,
-                                     int(score2[k]), int(te2[k]))
-        else:
-            q, t = tasks[i]
-            rev_wave.append((np.ascontiguousarray(q[:qe[k] + 1][::-1]),
-                             np.ascontiguousarray(t[:te[k] + 1][::-1])))
-            rev_pos.append((i, k))
-    if rev_wave:
-        _, te_r, qe_r, _, _ = run_wave(
-            rev_wave, np.full(len(rev_wave), big, np.int64))
-        for j, (i, k) in enumerate(rev_pos):
+        if scored[k]:
             results[i] = LocalResult(
-                int(score[k]), int(qe[k] - qe_r[j]), int(qe[k]),
-                int(te[k] - te_r[j]), int(te[k]),
-                int(score2[k]), int(te2[k]))
+                score[k], qe[k] - qe_r[k], qe[k],
+                te[k] - te_r[k], te[k], score2[k], te2[k])
+        else:
+            results[i] = LocalResult(score[k], -1, -1, -1, -1,
+                                     score2[k], te2[k])
     return results

@@ -45,13 +45,14 @@ def _adjust_w(qlen, w, max_sc, end_bonus, o_ins, e_ins, o_del, e_del):
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins", "e_ins",
-                                             "end_bonus", "zdrop", "match_sc"))
+                                             "end_bonus", "zdrop", "match_sc",
+                                             "packed"))
 def extend_batch(query: jnp.ndarray, qlen: jnp.ndarray,
                  target: jnp.ndarray, tlen: jnp.ndarray,
                  mat: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
                  o_del: int = 6, e_del: int = 1, o_ins: int = 6,
                  e_ins: int = 1, end_bonus: int = 5, zdrop: int = 100,
-                 match_sc: int = 1) -> ExtendBatchResult:
+                 match_sc: int = 1, packed: bool = False) -> ExtendBatchResult:
     """Batched ksw_extend2.
 
     query: (B, Lq) int8/int32 codes (0..4), padded arbitrarily past qlen
@@ -201,10 +202,14 @@ def extend_batch(query: jnp.ndarray, qlen: jnp.ndarray,
 
     final = jax.lax.fori_loop(0, Lt, row_step, init)
     empty = qlen == 0
-    return ExtendBatchResult(
+    res = ExtendBatchResult(
         score=jnp.where(empty, h0, final.max_score),
         qle=jnp.where(empty, 0, final.max_j + 1),
         tle=jnp.where(empty, 0, final.max_i + 1),
         gtle=jnp.where(empty, 0, final.max_ie + 1),
         gscore=jnp.where(empty, h0, final.gscore),
         max_off=jnp.where(empty, 0, final.max_off))
+    if packed:
+        # single (6, B) buffer: one device->host transfer per wave
+        return jnp.stack(list(res))
+    return res

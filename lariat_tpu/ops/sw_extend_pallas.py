@@ -185,7 +185,7 @@ def _extend_kernel(q_ref, t_ref, params_ref, out_ref, ehh_ref, ehe_ref,
                                              "e_ins", "end_bonus", "zdrop",
                                              "tile_b", "interpret",
                                              "match_sc", "mismatch_sc",
-                                             "n_sc"))
+                                             "n_sc", "packed"))
 def extend_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
                         target: jnp.ndarray, tlen: jnp.ndarray,
                         mat: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
@@ -193,7 +193,8 @@ def extend_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
                         e_ins: int = 1, end_bonus: int = 5, zdrop: int = 100,
                         tile_b: int = LANES, interpret: bool = False,
                         match_sc: int = 1, mismatch_sc: int = -4,
-                        n_sc: int = -1) -> ExtendBatchResult:
+                        n_sc: int = -1, packed: bool = False
+                        ) -> ExtendBatchResult:
     """Pallas-accelerated ksw_extend2 over a task batch (see extend_batch).
 
     ``mat`` must be the uniform bwa matrix implied by match_sc/mismatch_sc/
@@ -240,5 +241,10 @@ def extend_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
         sl = slice(c0, c0 + tile_b)
         chunks.append(call(query[sl].T, target[sl].T, params[sl].T))
     out = jnp.concatenate(chunks, axis=1)[:, :B]   # (8, B)
+    if packed:
+        # one device buffer: a remote-tunnel caller downloads the whole wave
+        # result in a single transfer instead of six (each np.asarray on a
+        # separate jit output is its own ~60 ms round trip over the link)
+        return out
     return ExtendBatchResult(score=out[0], qle=out[1], tle=out[2],
                              gtle=out[3], gscore=out[4], max_off=out[5])

@@ -163,3 +163,45 @@ def local_batch(query: jnp.ndarray, qlen: jnp.ndarray,
         score=jnp.where(none, 0, f.gmax),
         te=f.te, qe=jnp.where(none, -1, f.qe),
         score2=s2.score2, te2=s2.te2)
+
+
+def _rev_prefix(x: jnp.ndarray, end: jnp.ndarray) -> jnp.ndarray:
+    """rev[b, j] = x[b, end[b] - j] for j <= end[b], else 0 (end inclusive)."""
+    L = x.shape[1]
+    idx = end[:, None] - jnp.arange(L, dtype=jnp.int32)[None, :]
+    take = jnp.take_along_axis(x, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(idx >= 0, take, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "max_sc"))
+def local_two_pass(query: jnp.ndarray, qlen: jnp.ndarray,
+                   target: jnp.ndarray, tlen: jnp.ndarray,
+                   mat: jnp.ndarray, minsc: jnp.ndarray,
+                   o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                   e_ins: int = 1, max_sc: int = 1) -> jnp.ndarray:
+    """Full ksw_align2 in one dispatch (XLA twin of local_two_pass_pallas).
+
+    Returns a packed (8, B) int32 buffer:
+        rows: score, te, qe, score2, te2, qe_r, te_r, scored(0/1)
+    """
+    query = query.astype(jnp.int32)
+    target = target.astype(jnp.int32)
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    minsc = minsc.astype(jnp.int32)
+    r1 = local_batch(query, qlen, target, tlen, mat, minsc,
+                     o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                     max_sc=max_sc)
+    scored = (r1.te >= 0) & (r1.score >= minsc)
+    q2 = _rev_prefix(query, r1.qe)
+    t2 = _rev_prefix(target, r1.te)
+    qlen2 = jnp.where(scored, r1.qe + 1, 0)
+    tlen2 = jnp.where(scored, r1.te + 1, 0)
+    big = jnp.full_like(minsc, 1 << 30)
+    r2 = local_batch(q2, qlen2, t2, tlen2, mat, big,
+                     o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                     max_sc=max_sc)
+    zero = jnp.zeros_like(r1.score)
+    return jnp.stack([r1.score, r1.te, r1.qe, r1.score2, r1.te2,
+                      r2.qe, r2.te, scored.astype(jnp.int32) + zero])

@@ -158,19 +158,9 @@ def _local_kernel(q_ref, t_ref, params_ref, out_ref, hh_ref, ee_ref, cm_ref,
     out_ref[:] = outv
 
 
-@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
-                                             "e_ins", "match_sc",
-                                             "mismatch_sc", "n_sc",
-                                             "tile_b", "interpret"))
-def local_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
-                       target: jnp.ndarray, tlen: jnp.ndarray,
-                       minsc: jnp.ndarray,
-                       o_del: int = 6, e_del: int = 1, o_ins: int = 6,
-                       e_ins: int = 1, match_sc: int = 1,
-                       mismatch_sc: int = -4, n_sc: int = -1,
-                       tile_b: int = LANES,
-                       interpret: bool = False) -> LocalBatchResult:
-    """Pallas-accelerated batched forward local SW (see local_batch)."""
+def _run_local(query, qlen, target, tlen, minsc, *, o_del, e_del, o_ins,
+               e_ins, match_sc, mismatch_sc, n_sc, tile_b, interpret):
+    """One forward local-SW pass over a (B, Lq)/(B, Lt) batch -> (8, B)."""
     B, Lq = query.shape
     Lt = target.shape[1]
     if Lq >= PACK:
@@ -211,6 +201,83 @@ def local_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
     for c0 in range(0, Bp, tile_b):
         sl = slice(c0, c0 + tile_b)
         chunks.append(call(query[sl].T, target[sl].T, params[sl].T))
-    out = jnp.concatenate(chunks, axis=1)[:, :B]
+    return jnp.concatenate(chunks, axis=1)[:, :B]
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "match_sc",
+                                             "mismatch_sc", "n_sc",
+                                             "tile_b", "interpret"))
+def local_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
+                       target: jnp.ndarray, tlen: jnp.ndarray,
+                       minsc: jnp.ndarray,
+                       o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                       e_ins: int = 1, match_sc: int = 1,
+                       mismatch_sc: int = -4, n_sc: int = -1,
+                       tile_b: int = LANES,
+                       interpret: bool = False) -> LocalBatchResult:
+    """Pallas-accelerated batched forward local SW (see local_batch)."""
+    out = _run_local(query, qlen, target, tlen, minsc, o_del=o_del,
+                     e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                     match_sc=match_sc, mismatch_sc=mismatch_sc, n_sc=n_sc,
+                     tile_b=tile_b, interpret=interpret)
     return LocalBatchResult(score=out[0], te=out[1], qe=out[2],
                             score2=out[3], te2=out[4])
+
+
+def _rev_prefix(x: jnp.ndarray, end: jnp.ndarray) -> jnp.ndarray:
+    """rev[b, j] = x[b, end[b] - j] for j <= end[b], else 0 (end inclusive)."""
+    L = x.shape[1]
+    idx = end[:, None] - jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    take = jnp.take_along_axis(x, jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(idx >= 0, take, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "match_sc",
+                                             "mismatch_sc", "n_sc",
+                                             "tile_b", "interpret"))
+def local_two_pass_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
+                          target: jnp.ndarray, tlen: jnp.ndarray,
+                          minsc: jnp.ndarray,
+                          o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                          e_ins: int = 1, match_sc: int = 1,
+                          mismatch_sc: int = -4, n_sc: int = -1,
+                          tile_b: int = LANES,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Full ksw_align2 (mate-rescue DP) in ONE device dispatch.
+
+    Runs the forward pass, builds the reversed-prefix inputs on device
+    (no host round trip), runs the start-coordinate pass, and returns a
+    single packed (8, B) int32 buffer so a remote-tunnel caller pays one
+    transfer for the whole rescue wave:
+
+        rows: score, te, qe, score2, te2, qe_r, te_r, scored(0/1)
+
+    Bit-identical per task to ksw.local_align's two _local_core calls
+    (the second pass runs speculatively on every scored task; unscored
+    tasks run with zero lengths and are masked by the ``scored`` row).
+    """
+    kw = dict(o_del=o_del, e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+              match_sc=match_sc, mismatch_sc=mismatch_sc, n_sc=n_sc,
+              tile_b=tile_b, interpret=interpret)
+    query = query.astype(jnp.int32)
+    target = target.astype(jnp.int32)
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    minsc = minsc.astype(jnp.int32)
+    out1 = _run_local(query, qlen, target, tlen, minsc, **kw)
+    score, te, qe = out1[0], out1[1], out1[2]
+    scored = (te >= 0) & (score >= minsc)
+    q2 = _rev_prefix(query, qe)
+    t2 = _rev_prefix(target, te)
+    qlen2 = jnp.where(scored, qe + 1, 0)
+    tlen2 = jnp.where(scored, te + 1, 0)
+    big = jnp.full_like(minsc, 1 << 30)
+    out2 = _run_local(q2, qlen2, t2, tlen2, big, **kw)
+    rid = jax.lax.broadcasted_iota(jnp.int32, out1.shape, 0)
+    out = jnp.where(rid < 5, out1, 0)
+    out = out.at[5].set(out2[2])           # qe_r
+    out = out.at[6].set(out2[1])           # te_r
+    out = out.at[7].set(scored.astype(jnp.int32))
+    return out
