@@ -16,6 +16,12 @@ import os as _os
 # jax backend lookup raise; clear stale pins and let jax auto-pick from
 # what is actually registered (explicit "cpu"/"tpu" pins are honored).
 _plat = _os.environ.get("JAX_PLATFORMS", "")
-if _plat and not set(_plat.split(",")) <= {"cpu", "tpu"}:
-    _os.environ["JAX_PLATFORMS"] = ""
-del _os, _plat
+_STALE = {"axon"}  # names the tunnel plugin has retired
+if _plat and set(_plat.split(",")) & _STALE:
+    _os.environ["JAX_PLATFORMS"] = ",".join(
+        p for p in _plat.split(",") if p not in _STALE)
+    import sys as _sys
+    print(f"lariat_tpu: cleared stale JAX_PLATFORMS entries {_STALE & set(_plat.split(','))} "
+          f"(plugin now registers as 'tpu')", file=_sys.stderr)
+    del _sys
+del _os, _plat, _STALE

@@ -89,8 +89,17 @@ class _SubprocessStream(io.RawIOBase):
     def readinto(self, b) -> int:
         n = self._raw.readinto(b)
         if not n and self._proc.poll() is None:
-            self._proc.wait()
+            self._reap()
         return n
+
+    def _reap(self) -> None:
+        """wait with a bounded grace period, escalating to kill — a
+        decompressor that ignores SIGTERM must not hang the pipeline."""
+        try:
+            self._proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+            self._proc.wait()
 
     def close(self) -> None:
         if not self.closed:
@@ -99,7 +108,7 @@ class _SubprocessStream(io.RawIOBase):
             finally:
                 if self._proc.poll() is None:
                     self._proc.terminate()
-                self._proc.wait()
+                self._reap()
         super().close()
 
 

@@ -41,14 +41,29 @@ class HostShardPlan:
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
-                     num_processes: int = 1, process_id: int = 0) -> None:
-    """jax.distributed bring-up; no-op for a single process."""
+                     num_processes: int = 1, process_id: int = 0) -> bool:
+    """jax.distributed bring-up; no-op for a single process.
+
+    Returns True when the distributed service is (now) up.  When the local
+    jax backend was already initialized before this call — which happens when
+    the pipeline ran with ``use_device != off`` (device priming touches the
+    backend) — ``jax.distributed.initialize`` raises; we degrade to
+    local-only stats instead of crashing a run whose alignment work has
+    already completed successfully.
+    """
     if num_processes <= 1:
-        return
+        return False
+    import sys
     import jax
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return True
+    except RuntimeError as e:
+        print(f"lariat_tpu.multihost: jax.distributed unavailable ({e}); "
+              "reporting local stats only", file=sys.stderr)
+        return False
 
 
 def plan_host_shards(reads_paths: List[str], output_base: str,
@@ -147,13 +162,16 @@ def main(argv=None) -> int:
         first_chunk=(args.process_id == 0))
     rc, stats = run_host(plan, args.genome, threads=args.threads,
                          use_device=args.use_device, extra_args=extra)
-    init_distributed(args.coordinator, args.num_processes, args.process_id)
-    summed = global_stats_psum(stats)
+    local = [stats.total, stats.correct, stats.total_mapq10,
+             stats.correct_mapq10]
+    if init_distributed(args.coordinator, args.num_processes,
+                        args.process_id):
+        summed = global_stats_psum(stats)
+    else:
+        summed = list(local)
     print(json.dumps({"host": args.process_id, "rc": rc,
                       "output_dir": plan.output_dir,
-                      "local_stats": [stats.total, stats.correct,
-                                      stats.total_mapq10,
-                                      stats.correct_mapq10],
+                      "local_stats": local,
                       "global_stats": summed}))
     return rc
 

@@ -68,8 +68,15 @@ def _read_arrays(arr):
         else:
             cid = None
         t = (part0, pos, rev, cid)
-        if arr[0].score_arrays is None:
-            arr[0].score_arrays = t
+        # Always (re)attach so a length change (e.g. appended split-read
+        # supplementaries) refreshes the cache instead of recomputing on
+        # every later call while a stale tuple lingers.
+        arr[0].score_arrays = t
+    elif __debug__ and len(arr) > 0:
+        # The cache is only sound if the covered fields never mutate after
+        # get_alignments; spot-check the first entry cheaply.
+        assert t[1][0] == arr[0].pos and bool(t[2][0]) == bool(arr[0].reversed_), \
+            "Alignment pos/reversed_ mutated after score-array caching"
     return t
 
 
