@@ -543,9 +543,11 @@ class BatchAlignmentEngine(AlignmentEngine):
         """Device-batch candidate regions for many read pairs.
 
         With ``score_delta`` given, mate rescue also runs here (DP batched on
-        device via rescue_pairs_batch) and the returned per-pair tuples are
-        (regs1, regs2, True) — workers then interpret without re-rescuing.
-        Without it, returns (regs1, regs2) and workers rescue on host.
+        device via rescue_pairs_batch), the final per-candidate global SW
+        (mem_reg2aln) runs as device waves too, and the returned per-pair
+        tuples are (regs1, regs2, True, sras1, sras2) — workers then
+        interpret + walk without touching any DP. Without it, returns
+        (regs1, regs2) and workers rescue + reg2aln on host.
         """
         from .engine import encode_read
         seqs = []
@@ -563,7 +565,31 @@ class BatchAlignmentEngine(AlignmentEngine):
                  for rec, (r1, r2) in zip(recs, per_pair)]
         self.rescue_pairs_batch(pairs, score_delta,
                                 local_align_fn=self.local_align_device)
-        return [(r1, r2, True) for r1, r2 in per_pair]
+        # final SW for every post-rescue candidate in one batched session
+        # (same task list get_alignments would build: one per region, in
+        # reg order — rfa/candidates.py get_alignments)
+        tasks = []
+        counts = []
+        for rec, (r1, r2) in zip(recs, per_pair):
+            for reg in r1:
+                tasks.append((rec.read1, reg))
+            for reg in r2:
+                tasks.append((rec.read2, reg))
+            counts.append((len(r1), len(r2)))
+        # chunk so wave batch shapes stay in the small already-compiled
+        # pow2 set (one fresh (B, Lq, Lt) combo = a minutes-long remote
+        # Mosaic compile) and per-wave buffers stay modest
+        CH = 8192
+        sras = []
+        for s in range(0, len(tasks), CH):
+            sras.extend(self.reg2aln_batch(tasks[s:s + CH]))
+        out = []
+        off = 0
+        for (r1, r2), (n1, n2) in zip(per_pair, counts):
+            out.append((r1, r2, True, sras[off:off + n1],
+                        sras[off + n1:off + n1 + n2]))
+            off += n1 + n2
+        return out
 
     def prime_pairs(self, recs, score_delta: int) -> None:
         """Device-batch candidate generation for many reads (across
@@ -657,14 +683,23 @@ class BatchAlignmentEngine(AlignmentEngine):
                         match_sc=opt.match_score,
                         mismatch_sc=-opt.mismatch_penalty, **kw)
                     S = q.shape[1] + t.shape[1]
-                    ops_buf, i_fin, k_fin = (
-                        sw_global_pallas.traceback_ops_device(
-                            res.z, qlen, tlen, wv, S=S))
-                    raw = sw_global_pallas.cigars_from_ops_raw(
-                        np.asarray(ops_buf), np.asarray(i_fin),
-                        np.asarray(k_fin))
+                    # one fused download per wave: packed ops + score +
+                    # cursors in a single uint8 buffer (4 ops/byte)
+                    blob = np.asarray(sw_global_pallas.traceback_ops_fused(
+                        res.z, qlen, tlen, wv, res.score, S=S))
+                    packed, score, i_fin, k_fin = (
+                        sw_global_pallas.split_traceback_blob(blob, S))
+                    raw = sw_global_pallas.cigars_from_ops_packed(
+                        packed, i_fin, k_fin, S)
+                    if raw is None:  # native lib without the packed finisher
+                        ops_buf, i_fin, k_fin = (
+                            sw_global_pallas.traceback_ops_device(
+                                res.z, qlen, tlen, wv, S=S))
+                        raw = sw_global_pallas.cigars_from_ops_raw(
+                            np.asarray(ops_buf), np.asarray(i_fin),
+                            np.asarray(k_fin))
                     cig_mat, nops = raw
-                    sess.feed(np.asarray(res.score), cig_mat, nops)
+                    sess.feed(score, cig_mat, nops)
                 else:
                     from ..ops import sw_global_batch
                     B = int(sess.pending())

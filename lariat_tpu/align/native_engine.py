@@ -43,6 +43,10 @@ def _lib():
                 lib.mismatch_walk_batch.restype = i64
                 lib.mismatch_walk_batch.argtypes = [
                     p, p, p, p, i64, p, p, p, i64]
+            if hasattr(lib, "mismatch_walk_fetch_batch"):
+                lib.mismatch_walk_fetch_batch.restype = i64
+                lib.mismatch_walk_fetch_batch.argtypes = [
+                    p, p, p, p, i64, p, p, p, i64]
     return lib if _ok else None
 
 
@@ -195,6 +199,88 @@ def mismatch_walk_batch(walks) -> Optional[list]:
                     int(stats[i, 3]), int(stats[i, 4]),
                     [int(v) for v in pairs[:, 0]],
                     [int(v) for v in pairs[:, 1]]))
+    return out
+
+
+def mismatch_walk_fetch_batch(fm, walks) -> Optional[list]:
+    """mismatch_walk_batch with C++-side reference fetch from the unpacked
+    codes cache (no per-candidate Python get_seq).
+
+    ``walks`` rows: (cigar, read_bytes, goff, ref_start, ref_end, reversed_)
+    where goff is the contig's global offset. Returns the same tuples as
+    mismatch_walk_batch, or None when the native lib / codes cache is
+    unavailable. Read bytes are deduped by object identity (each read
+    appears once in the concat buffer however many candidates it has).
+    """
+    lib = _lib()
+    codes = getattr(fm, "_codes_cache", None)
+    if codes is None and fm.l_pac <= fm.CODES_CACHE_MAX:
+        fm.get_seq_codes(0, 1)  # builds and attaches the cache
+        codes = getattr(fm, "_codes_cache", None)
+    if lib is None or codes is None \
+            or not hasattr(lib, "mismatch_walk_fetch_batch"):
+        return None
+    n = len(walks)
+    if n == 0:
+        return []
+    l_pac = int(fm.l_pac)
+    cig_parts = []
+    tasks = np.zeros((n, 9), np.int64)
+    read_offs: dict = {}
+    read_chunks = []
+    read_total = 0
+    coff = 0
+    read_lens_sum = 0
+    for i, (cigar, read, goff, rs, re_, rev) in enumerate(walks):
+        flat = [v for pair in cigar for v in pair]
+        cig_parts.append(flat)
+        tasks[i, 0] = coff
+        tasks[i, 1] = len(cigar)
+        coff += 2 * len(cigar)
+        gs = goff + rs
+        ge = goff + re_
+        tasks[i, 2] = 0 if gs < 0 else gs
+        tasks[i, 3] = l_pac if ge > l_pac else ge
+        ro = read_offs.get(id(read))
+        if ro is None:
+            ro = read_total
+            read_offs[id(read)] = ro
+            read_chunks.append(read)
+            read_total += len(read)
+        tasks[i, 4] = ro
+        tasks[i, 5] = len(read)
+        read_lens_sum += len(read)
+        tasks[i, 6] = rs
+        tasks[i, 7] = re_
+        tasks[i, 8] = 1 if rev else 0
+    cigars = np.array([v for part in cig_parts for v in part] or [0],
+                      dtype=np.int32)
+    reads = np.frombuffer(b"".join(read_chunks) or b"\0", np.uint8)
+    stats = np.empty((n, 6), np.int64)
+    mm_offs = np.empty(n, np.int64)
+    cap = max(int(read_lens_sum), 1)
+    while True:
+        mm = np.empty((cap, 2), np.int64)
+        total = lib.mismatch_walk_fetch_batch(
+            cigars.ctypes.data, codes.ctypes.data, reads.ctypes.data,
+            tasks.ctypes.data, n, stats.ctypes.data, mm_offs.ctypes.data,
+            mm.ctypes.data, cap)
+        if total == -2:
+            raise RuntimeError("cigar longer than read")
+        if total >= 0:
+            break
+        cap *= 4
+    out = []
+    stats_l = stats.tolist()
+    mm_offs_l = mm_offs.tolist()
+    mm0 = mm[:, 0].tolist()
+    mm1 = mm[:, 1].tolist()
+    for i in range(n):
+        o = mm_offs_l[i]
+        st = stats_l[i]
+        c = st[5]
+        out.append((st[0], st[1], st[2], st[3], st[4],
+                    mm0[o:o + c], mm1[o:o + c]))
     return out
 
 

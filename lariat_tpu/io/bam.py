@@ -10,6 +10,8 @@ from __future__ import annotations
 import struct
 from typing import BinaryIO, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from .bgzf import BGZFWriter
 
 SEQ_NYBBLE = {65: 1, 67: 2, 71: 4, 84: 8, 78: 15,
@@ -20,6 +22,8 @@ for _b, _v in SEQ_NYBBLE.items():
 for _b in range(256):
     if _b not in SEQ_NYBBLE:
         _NYB_TABLE[_b] = 15
+# bytes.translate table: base ASCII -> 4-bit code (C-speed per record)
+_NYB_BYTES = bytes(_NYB_TABLE)
 CIGAR_OPS = "MIDNSHP=X"
 
 
@@ -67,20 +71,24 @@ class BAMRecord:
         if end <= self.pos:
             end = self.pos + 1
         bin_ = reg2bin(self.pos, end) if self.pos >= 0 else 4680
-        cigar_b = b"".join(struct.pack("<I", (ln << 4) | op)
-                           for op, ln in self.cigar)
-        nyb = bytearray((l_seq + 1) // 2)
-        for i in range(l_seq):
-            v = _NYB_TABLE[self.seq[i]]
-            if i % 2 == 0:
-                nyb[i // 2] = v << 4
-            else:
-                nyb[i // 2] |= v
+        if n_cigar:
+            cigar_b = struct.pack(
+                "<%dI" % n_cigar,
+                *((ln << 4) | op for op, ln in self.cigar))
+        else:
+            cigar_b = b""
+        if l_seq:
+            codes = np.frombuffer(self.seq.translate(_NYB_BYTES), np.uint8)
+            nyb_arr = codes[0::2] << 4
+            nyb_arr[: l_seq // 2] |= codes[1::2]
+            nyb = nyb_arr.tobytes()
+        else:
+            nyb = b""
         qual_b = bytes(self.qual) if self.qual else b"\xff" * l_seq
         body = struct.pack(
             "<iiBBHHHiiii", self.ref_id, self.pos, len(name_b), self.mapq,
             bin_, n_cigar, self.flag, l_seq, self.mate_ref_id, self.mate_pos,
-            self.tlen) + name_b + cigar_b + bytes(nyb) + qual_b + self.aux
+            self.tlen) + name_b + cigar_b + nyb + qual_b + self.aux
         return struct.pack("<I", len(body)) + body
 
 

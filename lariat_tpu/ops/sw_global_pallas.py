@@ -213,9 +213,10 @@ def global_batch_pallas_packed(query, qlen, target, tlen, mat, w, **kw
     return GlobalPallasPacked(score=res.score, z=zp, beg=beg)
 
 
-@functools.partial(jax.jit, static_argnames=("S",))
+@functools.partial(jax.jit, static_argnames=("S", "pack"))
 def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
-                         tlen: jnp.ndarray, w: jnp.ndarray, S: int):
+                         tlen: jnp.ndarray, w: jnp.ndarray, S: int,
+                         pack: bool = False):
     """Walk the band-packed direction bytes ON DEVICE for a whole batch.
 
     The walk is the exact ksw_global2 backtrack (same bit reads as the host
@@ -255,7 +256,44 @@ def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
     buf0 = jnp.full((B, S), 255, jnp.uint8)
     i, k, which, buf = jax.lax.fori_loop(
         0, S, step, (i0, k0, jnp.zeros_like(i0), buf0))
+    if pack:
+        # 4 two-bit ops per byte (LSB-first): ops are 0/1/2 and the 255
+        # end-marker folds to 3 under & 3 — a 4x smaller tunnel download
+        # (the op download dominates reg2aln wave latency over remote links)
+        assert S % 4 == 0, "pack requires S % 4 == 0"
+        p = (buf & 3).reshape(B, S // 4, 4).astype(jnp.uint8)
+        packed = (p[:, :, 0] | (p[:, :, 1] << 2) | (p[:, :, 2] << 4)
+                  | (p[:, :, 3] << 6))
+        return packed, i, k
     return buf, i, k
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def traceback_ops_fused(zp: jnp.ndarray, qlen: jnp.ndarray, tlen: jnp.ndarray,
+                        w: jnp.ndarray, score: jnp.ndarray, S: int):
+    """Device traceback + bit-pack + single-buffer marshalling.
+
+    Returns ONE (B, S//4 + 12) uint8 array: the packed op stream followed by
+    score, i_fin, k_fin as little-endian int32 bytes — so a whole reg2aln
+    wave costs exactly one device->host transfer (the transfer count, not
+    the DP, dominates wave latency over remote tunnels)."""
+    packed, i, k = traceback_ops_device(zp, qlen, tlen, w, S=S, pack=True)
+
+    def b32(x):
+        v = x.astype(jnp.int32)[:, None]
+        return jax.lax.bitcast_convert_type(v, jnp.uint8).reshape(-1, 4)
+
+    return jnp.concatenate([packed, b32(score), b32(i), b32(k)], axis=1)
+
+
+def split_traceback_blob(blob: np.ndarray, S: int):
+    """Host-side unpack of traceback_ops_fused's buffer."""
+    P = S // 4
+    packed = blob[:, :P]
+    score = np.ascontiguousarray(blob[:, P:P + 4]).view(np.int32).ravel()
+    i_fin = np.ascontiguousarray(blob[:, P + 4:P + 8]).view(np.int32).ravel()
+    k_fin = np.ascontiguousarray(blob[:, P + 8:P + 12]).view(np.int32).ravel()
+    return packed, score, i_fin, k_fin
 
 
 def cigars_from_ops_raw(ops: np.ndarray, i_fin: np.ndarray,
@@ -277,6 +315,31 @@ def cigars_from_ops_raw(ops: np.ndarray, i_fin: np.ndarray,
     nops = np.empty(B, dtype=np.int32)
     i64 = ctypes.c_int64
     lib.ksw_cigar_from_ops_batch(
+        ctypes.c_void_p(o.ctypes.data), i64(B), i64(S),
+        ctypes.c_void_p(iv.ctypes.data), ctypes.c_void_p(kv.ctypes.data),
+        ctypes.c_void_p(cig.ctypes.data), i64(cap),
+        ctypes.c_void_p(nops.ctypes.data))
+    return cig, nops
+
+
+def cigars_from_ops_packed(packed: np.ndarray, i_fin: np.ndarray,
+                           k_fin: np.ndarray, S: int):
+    """Native RLE finish for the bit-packed (B, S//4) op stream produced by
+    ``traceback_ops_device(..., pack=True)``. None without the native lib."""
+    B = packed.shape[0]
+    from ..index.suffix import _load_native
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "ksw_cigar_from_ops_packed_batch"):
+        return None
+    import ctypes
+    o = np.ascontiguousarray(packed, dtype=np.uint8)
+    iv = np.asarray(i_fin, dtype=np.int32)
+    kv = np.asarray(k_fin, dtype=np.int32)
+    cap = S + 2
+    cig = np.empty((B, 2 * cap), dtype=np.int32)
+    nops = np.empty(B, dtype=np.int32)
+    i64 = ctypes.c_int64
+    lib.ksw_cigar_from_ops_packed_batch(
         ctypes.c_void_p(o.ctypes.data), i64(B), i64(S),
         ctypes.c_void_p(iv.ctypes.data), ctypes.c_void_p(kv.ctypes.data),
         ctypes.c_void_p(cig.ctypes.data), i64(cap),

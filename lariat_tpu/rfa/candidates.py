@@ -34,6 +34,9 @@ class ChainedHit:
     score: int = 0
     ea: Optional[EasyAlignment] = None   # None = placeholder for unmapped
     fastq: Optional[FastQRecord] = None
+    # final-SW result precomputed by a device priming pass (one per region,
+    # same order as the regs); None = compute in get_alignments
+    sra: Optional[object] = None
 
 
 def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
@@ -46,15 +49,21 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
     interpretation replay per pair (identical output).
     """
     pair_results = None
+    pair_sras = None
     cache = getattr(engine, "_pair_cache", None)
     if primed_regions is not None:
         from ..align.engine import encode_read
         pair_results = []
         for rec, primed in zip(reads, primed_regions):
             # (regs1, regs2) = pre-rescue; (regs1, regs2, True) = the priming
-            # pass already ran device-batched mate rescue
+            # pass already ran device-batched mate rescue; a 5-tuple adds
+            # per-region final-SW results (reg2aln primed on device too)
             regs1, regs2 = primed[0], primed[1]
             rescued = len(primed) > 2 and primed[2]
+            if len(primed) > 4:
+                if pair_sras is None:
+                    pair_sras = [None] * len(reads)
+                pair_sras[len(pair_results)] = (primed[3], primed[4])
             pair_results.append(engine.finish_pair(
                 encode_read(rec.read1), encode_read(rec.read2),
                 regs1, regs2, score_delta, skip_rescue=rescued))
@@ -137,12 +146,15 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
                 mems=None if barcode_mems is None else barcode_mems[i],
                 regs=None if barcode_regs is None else barcode_regs[i])
         barcode = rec.barcode10x.decode()
+        sras1, sras2 = (pair_sras[i] if pair_sras is not None
+                        and pair_sras[i] is not None else (None, None))
         lst1: List[ChainedHit] = []
-        for ea in ea1:
+        for j, ea in enumerate(ea1):
             lst1.append(ChainedHit(
                 contig=ea.contig, pos=ea.offset, aend=ea.alignment_end,
                 read_id=i * 2, mate_id=i * 2 + 1, hit_id=hit_num, read1=True,
-                secondary=ea.secondary, score=ea.score, ea=ea, fastq=rec))
+                secondary=ea.secondary, score=ea.score, ea=ea, fastq=rec,
+                sra=sras1[j] if sras1 is not None else None))
             hit_num += 1
         if not lst1:
             lst1.append(ChainedHit(read_id=i * 2, mate_id=i * 2 + 1, pos=-1,
@@ -150,11 +162,12 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
             hit_num += 1
         out.append(lst1)
         lst2: List[ChainedHit] = []
-        for ea in ea2:
+        for j, ea in enumerate(ea2):
             lst2.append(ChainedHit(
                 contig=ea.contig, pos=ea.offset, aend=ea.alignment_end,
                 read_id=i * 2 + 1, mate_id=i * 2, hit_id=hit_num, read1=False,
-                secondary=ea.secondary, score=ea.score, ea=ea, fastq=rec))
+                secondary=ea.secondary, score=ea.score, ea=ea, fastq=rec,
+                sra=sras2[j] if sras2 is not None else None))
             hit_num += 1
         if not lst2:
             lst2.append(ChainedHit(read_id=i * 2 + 1, mate_id=i * 2, pos=-1,
@@ -182,18 +195,27 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
     if hasattr(engine, "reg2aln_batch"):
         tasks = []
         keys = []
+        sra_cache = {}
         for chain_list in barcode_chains:
             for ch in chain_list:
-                if ch.ea is not None:
+                if ch.ea is None:
+                    continue
+                if ch.sra is not None:   # primed on device
+                    sra_cache[id(ch)] = ch.sra
+                else:
                     tasks.append((ch.fastq.read1 if ch.read1
                                   else ch.fastq.read2, ch.ea.region))
                     keys.append(id(ch))
-        sra_cache = dict(zip(keys, engine.reg2aln_batch(tasks))) if tasks             else {}
-    # batched native CIGAR walks (mismatch loci + op counts) per barcode
+        if tasks:
+            sra_cache.update(zip(keys, engine.reg2aln_batch(tasks)))
+    # batched native CIGAR walks (mismatch loci + op counts) per barcode;
+    # preferred variant fetches reference windows inside C++ from the codes
+    # cache (no per-candidate get_seq)
     walk_cache = None
     if sra_cache is not None:
         from ..align import native_engine
-        walk_tasks = []
+        contigs = engine.fm.contigs
+        walk_rows = []
         walk_keys = []
         for chain_list in barcode_chains:
             for ch in chain_list:
@@ -205,14 +227,22 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
                 ref_start, ref_end = ch.pos, ch.aend
                 if sra.reversed_:
                     ref_start, ref_end = ch.aend + 1, ch.pos + 1
-                ref_seq = engine.fm.get_seq(sra.chrom, ref_start, ref_end,
-                                            sra.reversed_)
                 read_seq = ch.fastq.read1 if ch.read1 else ch.fastq.read2
-                walk_tasks.append((sra.cigar, ref_seq, read_seq,
-                                   ref_start, ref_end, sra.reversed_))
+                walk_rows.append((sra, read_seq, ref_start, ref_end))
                 walk_keys.append(id(ch))
-        walked = (native_engine.mismatch_walk_batch(walk_tasks)
-                  if walk_tasks else [])
+        walked = native_engine.mismatch_walk_fetch_batch(
+            engine.fm,
+            [(sra.cigar, read_seq, contigs[sra.rid].offset, rs, re_,
+              sra.reversed_)
+             for sra, read_seq, rs, re_ in walk_rows]) if walk_rows else []
+        if walked is None:
+            walk_tasks = [
+                (sra.cigar,
+                 engine.fm.get_seq(sra.chrom, rs, re_, sra.reversed_),
+                 read_seq, rs, re_, sra.reversed_)
+                for sra, read_seq, rs, re_ in walk_rows]
+            walked = (native_engine.mismatch_walk_batch(walk_tasks)
+                      if walk_tasks else [])
         if walked is not None:
             walk_cache = dict(zip(walk_keys, walked))
     for chain_list in barcode_chains:

@@ -870,6 +870,83 @@ int64_t mismatch_walk_batch(const int32_t* cigars, const uint8_t* refs,
   return total;
 }
 
+// mismatch_walk_batch variant that fetches reference windows itself from
+// the unpacked base-codes cache (codes 0..3 over [0, l_pac)) instead of
+// receiving pre-extracted ref bytes — removes tens of thousands of
+// per-candidate Python get_seq calls from the hot worker path.
+// tasks rows (int64 x9): [cig_off, n_pairs, gstart, gend, read_off,
+// read_len, ref_start, ref_end, rev] where gstart/gend are the
+// already-clamped GLOBAL fetch window (fmindex.get_seq semantics) and
+// ref_start/ref_end stay contig-local for mismatch-locus arithmetic.
+int64_t mismatch_walk_fetch_batch(const int32_t* cigars, const uint8_t* codes,
+                                  const uint8_t* reads, const int64_t* tasks,
+                                  int64_t n_tasks, int64_t* stats_out,
+                                  int64_t* mm_off_out, int64_t* mm_out,
+                                  int64_t mm_cap) {
+  static const uint8_t FWD[4] = {'A', 'C', 'G', 'T'};
+  static const uint8_t RC[4] = {'T', 'G', 'C', 'A'};
+  int64_t total = 0;
+  for (int64_t t = 0; t < n_tasks; ++t) {
+    const int64_t* tk = tasks + t * 9;
+    const int32_t* cig = cigars + tk[0];
+    int64_t n_pairs = tk[1];
+    int64_t gstart = tk[2], gend = tk[3];
+    int64_t ref_len = gend > gstart ? gend - gstart : 0;
+    const uint8_t* read = reads + tk[4];
+    int64_t read_len = tk[5];
+    int64_t ref_start = tk[6], ref_end = tk[7];
+    bool rev = tk[8] != 0;
+    int64_t matches = 0, indels = 0, indel_len = 0, sc = 0, sc_len = 0;
+    int64_t ref_off = 0, read_off = 0, n_mm = 0;
+    mm_off_out[t] = total;
+    for (int64_t kk = 0; kk < n_pairs; ++kk) {
+      int64_t k = rev ? n_pairs - 1 - kk : kk;
+      int op = cig[2 * k], ln = cig[2 * k + 1];
+      if (op == 0) {
+        matches += ln;
+        int64_t n_ref = std::min((int64_t)ln,
+                                 std::max(ref_len - ref_off, (int64_t)0));
+        if (read_off + n_ref > read_len) return -2;
+        for (int64_t m = 0; m < n_ref; ++m) {
+          int64_t ri = ref_off + m;
+          uint8_t rb = rev ? RC[codes[gend - 1 - ri] & 3]
+                           : FWD[codes[gstart + ri] & 3];
+          if (rb != read[read_off + m]) {
+            if (total + n_mm >= mm_cap) return -1;
+            int64_t loc = rev ? ref_end - ri : ri + ref_start;
+            mm_out[2 * (total + n_mm)] = loc;
+            mm_out[2 * (total + n_mm) + 1] = read_off + m;
+            ++n_mm;
+          }
+        }
+        ref_off += ln;
+        read_off += ln;
+      } else if (op == 1) {
+        ++indels;
+        indel_len += ln;
+        read_off += ln;
+      } else if (op == 2) {
+        ++indels;
+        indel_len += ln;
+        ref_off += ln;
+      } else if (op == 3) {
+        ++sc;
+        sc_len += ln;
+        read_off += ln;
+      }
+    }
+    int64_t* st = stats_out + t * 6;
+    st[0] = matches;
+    st[1] = indels;
+    st[2] = indel_len;
+    st[3] = sc;
+    st[4] = sc_len;
+    st[5] = n_mm;
+    total += n_mm;
+  }
+  return total;
+}
+
 // Vectorized Go-style PRNG seeding chain for utils/gorand.py: out[i][k] =
 // seeds[i] * powers[k] mod (2^31 - 1). The constant modulus lets the
 // compiler strength-reduce the division (numpy's uint64 % cannot).

@@ -519,6 +519,42 @@ void ksw_cigar_from_ops_batch(const uint8_t* ops, int64_t B, int64_t S,
   }
 }
 
+// Bit-packed variant: ops arrive 4-per-byte (two bits each, LSB-first);
+// op value 3 is the end-of-walk marker (the raw path's 255 & 3). Same RLE +
+// reverse + residual-D/I finish as ksw_cigar_from_ops_batch.
+void ksw_cigar_from_ops_packed_batch(const uint8_t* packed, int64_t B,
+                                     int64_t S, const int32_t* i_fin,
+                                     const int32_t* k_fin, int32_t* cigars,
+                                     int64_t cap_pairs, int32_t* n_ops_out) {
+  int64_t PS = (S + 3) / 4;
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* ob = packed + b * PS;
+    int32_t* out = cigars + b * 2 * cap_pairs;
+    int n = 0;
+    auto push = [&](int op, int ln) {
+      if (n && out[2 * (n - 1)] == op) {
+        out[2 * (n - 1) + 1] += ln;
+      } else if (n < cap_pairs) {
+        out[2 * n] = op;
+        out[2 * n + 1] = ln;
+        ++n;
+      }
+    };
+    for (int64_t s = 0; s < S; ++s) {
+      int op = (ob[s >> 2] >> ((s & 3) << 1)) & 3;
+      if (op == 3) break;
+      push(op, 1);
+    }
+    if (i_fin[b] >= 0) push(2, i_fin[b] + 1);
+    if (k_fin[b] >= 0) push(1, k_fin[b] + 1);
+    for (int a = 0, c = n - 1; a < c; ++a, --c) {
+      std::swap(out[2 * a], out[2 * c]);
+      std::swap(out[2 * a + 1], out[2 * c + 1]);
+    }
+    n_ops_out[b] = n;
+  }
+}
+
 // Packed layout: z is (B, Lt_dim, n_col) with row i holding band columns
 // [beg_i, ...) at [i, k - beg_i] where beg_i = max(i - w, 0).
 void ksw_traceback_packed_batch(const uint8_t* z, int64_t B, int64_t Lt_dim,

@@ -250,7 +250,10 @@ def test_prime_regions_with_rescue_barcode_parity(dup_genome):  # noqa: F811
         reads.append(_make_pair(genome, pos, 300, f"m1:{i}"))
     cfg = RFAConfig()
     primes = batch.prime_regions(reads, cfg.chain_score_delta)
-    assert all(len(p) == 3 and p[2] for p in primes)
+    # 5-tuples: rescue AND final-SW (reg2aln) both primed
+    assert all(len(p) == 5 and p[2] for p in primes)
+    assert all(len(p[3]) == len(p[0]) and len(p[4]) == len(p[1])
+               for p in primes)
     r1 = process_barcode(host, reads, True, cfg)
     r2 = process_barcode(host, reads, True, cfg, primed_regions=primes)
     for arr1, arr2 in zip(r1.alignments, r2.alignments):
