@@ -576,13 +576,8 @@ class BatchAlignmentEngine(AlignmentEngine):
             for reg in r2:
                 tasks.append((rec.read2, reg))
             counts.append((len(r1), len(r2)))
-        # chunk so wave batch shapes stay in the small already-compiled
-        # pow2 set (one fresh (B, Lq, Lt) combo = a minutes-long remote
-        # Mosaic compile) and per-wave buffers stay modest
-        CH = 8192
-        sras = []
-        for s in range(0, len(tasks), CH):
-            sras.extend(self.reg2aln_batch(tasks[s:s + CH]))
+        # reg2aln_batch chunks + pipelines its device sessions internally
+        sras = self.reg2aln_batch(tasks) if tasks else []
         out = []
         off = 0
         for (r1, r2), (n1, n2) in zip(per_pair, counts):
@@ -643,10 +638,17 @@ class BatchAlignmentEngine(AlignmentEngine):
                 return out
         return self._reg2aln_python(tasks)
 
-    def _reg2aln_session(self, tasks) -> Optional[List[SingleReadAlignment]]:
+    # A big-batch chunk size the DP wave machinery handles well: the global
+    # pallas kernel is trace-time chunked over lanes, so huge B means huge
+    # traced graphs + z intermediates; 2048 keeps both modest while the
+    # pipelined driver below overlaps chunk round trips.
+    R2ALN_CHUNK = 2048
+
+    def _r2s_open(self, tasks):
+        """Build one reg2aln session state dict (or a finished one when no
+        task needs DP)."""
         from .engine import SingleReadAlignment, encode_read
         from . import native_engine
-        opt, fm = self.opt, self.fm
         n = len(tasks)
         out: List[Optional[SingleReadAlignment]] = [None] * n
         reads = []
@@ -665,56 +667,115 @@ class BatchAlignmentEngine(AlignmentEngine):
             rows.append((k, reg.qb, reg.qe, reg.rb, reg.re, reg.truesc,
                          reg.w))
             live.append(idx)
-        if not rows:
-            return out
-        sess = native_engine.Reg2AlnSession(fm, opt, reads, rows)
+        st = {"tasks": tasks, "out": out, "rows": rows, "live": live,
+              "sess": None}
+        if rows:
+            st["sess"] = native_engine.Reg2AlnSession(
+                self.fm, self.opt, reads, rows)
+        return st
+
+    def _r2s_dispatch(self, st):
+        """Launch one DP wave for a session; returns async device handles
+        plus host-side aux needed to consume them (no transfer happens
+        here — downloads pipeline across sessions)."""
+        opt = self.opt
+        sess = st["sess"]
+        mat = np.asarray(self.mat)
+        tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 384, 576))
+                 if self.use_pallas else {})
+        q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
+        kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
+                  o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
+        if self.use_pallas:
+            from ..ops import sw_global_pallas
+            res = sw_global_pallas.global_batch_pallas_packed(
+                q, qlen, t, tlen, mat, wv, match_sc=opt.match_score,
+                mismatch_sc=-opt.mismatch_penalty, **kw)
+            S = q.shape[1] + t.shape[1]
+            # one fused download per wave: packed ops + score + cursors
+            # in a single uint8 buffer (4 ops/byte)
+            blob = sw_global_pallas.traceback_ops_fused(
+                res.z, qlen, tlen, wv, res.score, S=S)
+            return ("pallas", blob, S, res, qlen, tlen, wv)
+        from ..ops import sw_global_batch
+        n_col = min(q.shape[1], 2 * (opt.band_width << 2) + 1)
+        res = sw_global_batch.global_batch(
+            q, qlen, t, tlen, mat, wv, n_col, **kw)
+        return ("xla", res, qlen, tlen, wv)
+
+    def _r2s_feed(self, st, handle) -> None:
+        """Download a dispatched wave's results and feed the session."""
+        sess = st["sess"]
+        if handle[0] == "pallas":
+            from ..ops import sw_global_pallas
+            _, blob_h, S, res, qlen, tlen, wv = handle
+            blob = np.asarray(blob_h)
+            packed, score, i_fin, k_fin = (
+                sw_global_pallas.split_traceback_blob(blob, S))
+            raw = sw_global_pallas.cigars_from_ops_packed(
+                packed, i_fin, k_fin, S)
+            if raw is None:  # native lib without the packed finisher
+                ops_buf, i_fin, k_fin = (
+                    sw_global_pallas.traceback_ops_device(
+                        res.z, qlen, tlen, wv, S=S))
+                raw = sw_global_pallas.cigars_from_ops_raw(
+                    np.asarray(ops_buf), np.asarray(i_fin),
+                    np.asarray(k_fin))
+            cig_mat, nops = raw
+            sess.feed(score, cig_mat, nops)
+            return
+        from ..ops import sw_global_batch
+        _, res, qlen, tlen, wv = handle
+        B = int(sess.pending())
+        cigars = sw_global_batch.traceback_batch(
+            np.asarray(res.z), np.asarray(res.beg),
+            [int(v) for v in qlen[:B]],
+            [int(v) for v in tlen[:B]],
+            [int(v) for v in wv[:B]])
+        sess.feed_cigar_lists(np.asarray(res.score), cigars)
+
+    def _reg2aln_session(self, tasks) -> Optional[List[SingleReadAlignment]]:
+        """Chunked + pipelined session driver: every live chunk's wave is
+        dispatched before any wave's results are downloaded, so the device
+        stays busy and per-wave RPC latency overlaps across chunks."""
+        CH = self.R2ALN_CHUNK
+        states = [self._r2s_open(tasks[s:s + CH])
+                  for s in range(0, len(tasks), CH)]
         try:
-            mat = np.asarray(self.mat)
-            while sess.pending():
-                tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 384, 576))
-                         if self.use_pallas else {})
-                q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
-                kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
-                          o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
-                if self.use_pallas:
-                    from ..ops import sw_global_pallas
-                    res = sw_global_pallas.global_batch_pallas_packed(
-                        q, qlen, t, tlen, mat, wv,
-                        match_sc=opt.match_score,
-                        mismatch_sc=-opt.mismatch_penalty, **kw)
-                    S = q.shape[1] + t.shape[1]
-                    # one fused download per wave: packed ops + score +
-                    # cursors in a single uint8 buffer (4 ops/byte)
-                    blob = np.asarray(sw_global_pallas.traceback_ops_fused(
-                        res.z, qlen, tlen, wv, res.score, S=S))
-                    packed, score, i_fin, k_fin = (
-                        sw_global_pallas.split_traceback_blob(blob, S))
-                    raw = sw_global_pallas.cigars_from_ops_packed(
-                        packed, i_fin, k_fin, S)
-                    if raw is None:  # native lib without the packed finisher
-                        ops_buf, i_fin, k_fin = (
-                            sw_global_pallas.traceback_ops_device(
-                                res.z, qlen, tlen, wv, S=S))
-                        raw = sw_global_pallas.cigars_from_ops_raw(
-                            np.asarray(ops_buf), np.asarray(i_fin),
-                            np.asarray(k_fin))
-                    cig_mat, nops = raw
-                    sess.feed(score, cig_mat, nops)
-                else:
-                    from ..ops import sw_global_batch
-                    B = int(sess.pending())
-                    n_col = min(q.shape[1], 2 * (opt.band_width << 2) + 1)
-                    res = sw_global_batch.global_batch(
-                        q, qlen, t, tlen, mat, wv, n_col, **kw)
-                    cigars = sw_global_batch.traceback_batch(
-                        np.asarray(res.z), np.asarray(res.beg),
-                        [int(v) for v in qlen[:B]],
-                        [int(v) for v in tlen[:B]],
-                        [int(v) for v in wv[:B]])
-                    sess.feed_cigar_lists(np.asarray(res.score), cigars)
-            meta, cig = sess.finish()
+            while True:
+                live = [st for st in states
+                        if st["sess"] is not None and st["sess"].pending()]
+                if not live:
+                    break
+                handles = [(st, self._r2s_dispatch(st)) for st in live]
+                for st, h in handles:
+                    self._r2s_feed(st, h)
         finally:
-            sess.close()
+            metas = []
+            for st in states:
+                sess = st["sess"]
+                if sess is not None:
+                    try:
+                        metas.append(sess.finish())
+                    finally:
+                        sess.close()
+                else:
+                    metas.append(None)
+        out_all: List[Optional[SingleReadAlignment]] = []
+        for st, mc in zip(states, metas):
+            if mc is None:
+                out_all.extend(st["out"])
+                continue
+            meta, cig = mc
+            self._r2s_fill(st, meta, cig)
+            out_all.extend(st["out"])
+        return out_all
+
+    def _r2s_fill(self, st, meta, cig) -> None:
+        from .engine import SingleReadAlignment
+        fm = self.fm
+        tasks, rows, live, out = (st["tasks"], st["rows"], st["live"],
+                                  st["out"])
         contigs = fm.contigs
         for (_, qb, qe, rb, re, truesc, w), idx, mrow in zip(
                 rows, live, meta):
@@ -727,7 +788,6 @@ class BatchAlignmentEngine(AlignmentEngine):
                 chrom=contigs[rid].name, reversed_=bool(is_rev),
                 edit_distance=nm, cigar=cigar, score=reg.score,
                 sub=max(reg.sub, reg.csub), read_s=reg.qb, read_e=reg.qe)
-        return out
 
     def _reg2aln_python(self, tasks: List[Tuple[bytes, Optional[AlnReg]]]
                         ) -> List[SingleReadAlignment]:

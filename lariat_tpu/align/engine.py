@@ -66,6 +66,13 @@ class SingleReadAlignment:
     read_s: int = 0
     read_e: int = 0
 
+    def __reduce__(self):
+        # compact positional pickling (shipped per primed candidate)
+        return (SingleReadAlignment,
+                (self.pos, self.rid, self.chrom, self.reversed_,
+                 self.edit_distance, self.cigar, self.score, self.sub,
+                 self.read_s, self.read_e))
+
 
 @dataclasses.dataclass
 class EasyAlignment:

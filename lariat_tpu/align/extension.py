@@ -41,6 +41,15 @@ class AlnReg:
     frac_rep: float = 0.0
     rescued: bool = False
 
+    def __reduce__(self):
+        # positional-tuple pickling: these ship through the worker-pool
+        # pipe once per primed candidate, and the default dataclass
+        # reduce (per-field dict) is ~3x bigger and slower
+        return (AlnReg, (self.rb, self.re, self.qb, self.qe, self.rid,
+                         self.score, self.truesc, self.sub, self.csub,
+                         self.seedcov, self.w, self.seedlen0, self.n_comp,
+                         self.frac_rep, self.rescued))
+
 
 def cal_max_gap(opt: AlignerConfig, qlen: int) -> int:
     l_del = int((qlen * opt.match_score - opt.gap_open_del) / opt.gap_extend_del + 1.0)

@@ -166,6 +166,11 @@ def test_reg2aln_session_fuzz(dup_genome):  # noqa: F811
     assert got is not None
     for i, ((seq, reg), g) in enumerate(zip(tasks, got)):
         assert g == host.reg2aln(seq, reg), (i, seq)
+    # pipelined multi-chunk driver: same results with tiny chunks
+    batch.R2ALN_CHUNK = 37
+    got2 = batch._reg2aln_session(tasks)
+    batch.R2ALN_CHUNK = BatchAlignmentEngine.R2ALN_CHUNK
+    assert got2 == got
 
 
 def _rescue_pairs(genome, rng, n=40):
