@@ -169,6 +169,44 @@ class BatchAlignmentEngine(AlignmentEngine):
             self._warmup.join()
             self._warmup = None
 
+    def _tier_plan(self, qmax: int) -> dict:
+        """Wave-tier shape sets derived from the longest query seen so far.
+
+        Every distinct (B, Lq, Lt) wave shape costs a Mosaic kernel compile
+        (minutes over remote-compile links), so dims are pinned to a tiny
+        tier set — but derived from the observed read length instead of
+        hard-coded, so e.g. 250 bp reads get fitting tiers instead of
+        falling off the tier table and retracing per batch. The plan is
+        sticky: it only regrows when a longer read shows up (one recompile,
+        not one per batch).
+        """
+        tp = getattr(self, "_tiers", None)
+        if tp is not None and qmax <= tp["qmax"]:
+            return tp
+
+        def c64(v: int) -> int:
+            return -(-max(v, 64) // 64) * 64
+
+        qT = c64(qmax)
+        # mate-rescue window length: high - low + read length
+        # (engine._rescue_window geometry)
+        rT = c64(self.pair.high - self.pair.low + qmax)
+        tp = {
+            "qmax": qT,
+            # seed extension: query stubs (<=64) and full flanks; targets
+            # add band slack either side
+            "ext": dict(q_tiers=(64, qT), t_tiers=(qT, 3 * qT)),
+            # reg2aln global: target = query +- inferred band (ladder
+            # retries widen into the higher tiers)
+            "r2a": dict(q_tiers=(64, qT), t_tiers=(qT, 2 * qT, 3 * qT)),
+            # local rescue SW: query = the (reversed) mate read, target =
+            # the insert window; second tier covers band-doubled retries
+            "loc_q": (qT, 4 * qT),
+            "loc_t": (rT, 2 * rT),
+        }
+        self._tiers = tp
+        return tp
+
     # ------------------------------------------------------------- batching
 
     def _prepare_chains(self, q: np.ndarray,
@@ -251,10 +289,12 @@ class BatchAlignmentEngine(AlignmentEngine):
                                                    opt.mismatch_penalty))
             while sess.pending():
                 t_wave = time.time()
-                # pallas: pin wave dims to 2 tiers (each distinct shape is a
-                # minutes-long Mosaic compile over a remote TPU link)
-                tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 576))
-                         if self.use_pallas else {})
+                # pallas: pin wave dims to the derived tier sets (each
+                # distinct shape is a minutes-long Mosaic compile over a
+                # remote TPU link)
+                tiers = (self._tier_plan(max(
+                    (len(s) for s in seqs), default=64))["ext"]
+                    if self.use_pallas else {})
                 q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
                 bonus = opt.pen_clip5 if sess.phase() == 0 else opt.pen_clip3
                 kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
@@ -529,6 +569,7 @@ class BatchAlignmentEngine(AlignmentEngine):
         start-coordinate pass); bit-identical to per-task ksw.local_align."""
         from .ksw import local_align_batch
         opt = self.opt
+        tp = self._tier_plan(max((len(rev) for rev, _ in tasks), default=64))
         return local_align_batch(
             [(rev.astype(np.int64), ref.astype(np.int64))
              for rev, ref in tasks],
@@ -536,7 +577,7 @@ class BatchAlignmentEngine(AlignmentEngine):
             opt.gap_open_ins, opt.gap_extend_ins,
             opt.min_seed_len * opt.match_score,
             backend="pallas" if self.use_pallas else "xla",
-            q_tiers=(192, 768), t_tiers=(704, 1408))
+            q_tiers=tp["loc_q"], t_tiers=tp["loc_t"])
 
     def prime_regions(self, recs, score_delta: Optional[int] = None
                       ) -> List[tuple]:
@@ -681,8 +722,10 @@ class BatchAlignmentEngine(AlignmentEngine):
         opt = self.opt
         sess = st["sess"]
         mat = np.asarray(self.mat)
-        tiers = (dict(q_tiers=(64, 192), t_tiers=(192, 384, 576))
-                 if self.use_pallas else {})
+        tiers = (self._tier_plan(max(
+            (len(seq) for seq, reg in st["tasks"] if reg is not None),
+            default=64))["r2a"]
+            if self.use_pallas else {})
         q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
         kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                   o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
