@@ -22,7 +22,8 @@ GENOME_LENGTH = 3.2e9  # hard-coded human genome length (lariat.go:885)
 
 
 def molecule_mapq_probability_sums(molecules: List[CandidateMolecule],
-                                   log_unpaired_probability: float) -> None:
+                                   log_unpaired_probability: float,
+                                   tensors=None) -> None:
     # sinks sharing no reads with the source contribute to nothing (their
     # source_alignments list is empty), so the sweep is restricted to
     # read-sharing sinks via an index — exact, same contribution order
@@ -30,10 +31,36 @@ def molecule_mapq_probability_sums(molecules: List[CandidateMolecule],
     for mi, mol in enumerate(molecules):
         for read_id in mol.best_alignment_for_read.keys():
             read_to_mols.setdefault(read_id, []).append(mi)
+    import numpy as np
     for src_id, source in enumerate(molecules):
         cand = set()
         for read_id in source.active_alignments.keys():
             cand.update(read_to_mols.get(read_id, ()))
+        if tensors is not None:
+            # tensor row (tensor_rfa): all sink changes at once, then the
+            # per-alignment sums accumulate sink-ascending exactly like the
+            # scalar loop (per-aln addition chains are identical)
+            K = np.array([i for i in sorted(cand) if i != src_id], np.int64)
+            if not len(K):
+                continue
+            change, _num = tensors.fast_score_row(
+                source, src_id, K, log_unpaired_probability)
+            src_alns = list(source.active_alignments.values())
+            for aln in src_alns:
+                if not aln.active:
+                    raise RuntimeError(
+                        "setting molecule mapq for non-active alignment")
+            cols = np.array([a.read_id for a in src_alns], np.int64)
+            sums = np.array([a.sum_move_probability_change
+                             for a in src_alns], np.float64)
+            EXK = tensors.EX[K][:, cols] if len(cols) else None
+            for j in range(len(K)):
+                c = float(change[j])
+                prob = math.pow(10.0, c) if c < 300 else math.inf
+                sums = np.where(EXK[j], sums + prob, sums)
+            for a, s in zip(src_alns, sums):
+                a.sum_move_probability_change = float(s)
+            continue
         for snk_id in sorted(cand):
             if src_id == snk_id:
                 continue
@@ -193,7 +220,12 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
     if debug.PRINT_MOVE:
         print("NOW TESTING MAPQS")
     if molecules:
-        molecule_mapq_probability_sums(molecules, log_unpaired_probability)
+        tensors = None
+        if not debug.PRINT_MOVE:
+            from .tensor_rfa import RFATensors
+            tensors = RFATensors.build(molecules, alignments)
+        molecule_mapq_probability_sums(molecules, log_unpaired_probability,
+                                       tensors)
     update_alignments_molecule_status(
         alignments, molecules, read_copies_in_active,
         read_copies_not_in_active, unique_molecules_active)

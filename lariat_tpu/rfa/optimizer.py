@@ -155,6 +155,12 @@ class RFAOptimizer:
         for mi, mol in enumerate(molecules):
             for read_id in mol.best_alignment_for_read.keys():
                 self._read_to_mols.setdefault(read_id, []).append(mi)
+        # tensorized fastScore rows (propose step); None -> scalar sweep.
+        # The verbose debug path needs the scalar per-sink prints.
+        self._tensors = None
+        if not debug.PRINT_MOVE:
+            from .tensor_rfa import RFATensors
+            self._tensors = RFATensors.build(molecules, alignments)
 
     def generate_move(self) -> None:
         mols = self.molecules
@@ -166,18 +172,48 @@ class RFAOptimizer:
         for read_id in source.active_alignments.keys():
             cand.update(self._read_to_mols.get(read_id, ()))
         best_move = Move(score_change=-float("inf"))
-        for i in sorted(cand):
-            if i == self.current_source:
-                continue
-            sink = mols[i]
-            score, move = fast_score(source, sink,
-                                     self.log_unpaired_probability)
-            if ((score > best_move.score_change
-                 or (score == best_move.score_change
-                     and len(move.sink.active_alignments)
-                     > len(best_move.sink.active_alignments)))
-                    and move.num_moved > 0):
-                best_move = move
+        cand_list = sorted(cand)
+        if self._tensors is not None and cand_list:
+            # propose: one tensor row scores every candidate sink;
+            # serialize-accept: the winner is re-derived with the scalar
+            # fast_score (byte-identical change; also re-checks the
+            # mismatch-locus invariants) and applied on host
+            import numpy as _np
+            K = _np.array([i for i in cand_list if i != self.current_source],
+                          _np.int64)
+            if len(K):
+                change, num = self._tensors.fast_score_row(
+                    source, self.current_source, K,
+                    self.log_unpaired_probability)
+                best_k = -1
+                best_c = -float("inf")
+                best_n_act = -1
+                for j in range(len(K)):
+                    if num[j] <= 0:
+                        continue
+                    c = float(change[j])
+                    n_act = len(mols[K[j]].active_alignments)
+                    if c > best_c or (c == best_c and n_act > best_n_act):
+                        best_k = int(K[j])
+                        best_c = c
+                        best_n_act = n_act
+                if best_k >= 0:
+                    score, best_move = fast_score(
+                        source, mols[best_k], self.log_unpaired_probability)
+                    assert score == best_c, "tensor/scalar fastScore mismatch"
+        else:
+            for i in cand_list:
+                if i == self.current_source:
+                    continue
+                sink = mols[i]
+                score, move = fast_score(source, sink,
+                                         self.log_unpaired_probability)
+                if ((score > best_move.score_change
+                     or (score == best_move.score_change
+                         and len(move.sink.active_alignments)
+                         > len(best_move.sink.active_alignments)))
+                        and move.num_moved > 0):
+                    best_move = move
         best_score = best_move.score_change
         if best_score > 0 or (
                 best_score == 0 and best_move.sink is not None

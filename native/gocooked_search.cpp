@@ -1,0 +1,181 @@
+// Offline search for Go's math/rand rngCooked table (one-time tool).
+//
+// Go seeds every rand.Source by XORing a 607-entry constant table
+// (rngCooked) that was produced by running an additive lagged-Fibonacci
+// generator (len 607, tap 273) for a long warmup from a fixed seed
+// (gen_cooked.go). The exact warmup parameters aren't documented outside
+// the Go tree, so this tool enumerates the plausible variants and checks
+// each candidate table by reproducing rand.New(rand.NewSource(1)).Int63()
+// whose first values are widely published (5577006791947779410, ...).
+//
+// Build: g++ -O3 -march=native -o /tmp/gocooked_search gocooked_search.cpp
+// Usage: gocooked_search <warmup> <shift:40|20> <mask:0|1>
+//   prints "MATCH" + the 607 cooked values when the candidate reproduces
+//   the Int63 stream, else "NO <first-int63>".
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+static const int LEN = 607;
+static const int TAP = 273;
+static const int64_t M31 = (1LL << 31) - 1;
+static const uint64_t MASK63 = ~(1ULL << 63);
+
+static int32_t seedrand(int32_t x) {
+  const int32_t A = 48271, Q = 44488, R = 3399;
+  int32_t hi = x / Q, lo = x % Q;
+  x = A * lo - R * hi;
+  if (x < 0) x += (int32_t)M31;
+  return x;
+}
+
+// srand per gen_cooked: no cooked XOR; shift recipe 40/20 (like rng.go's
+// Seed) or 20/10 (compact variant).
+static void srand_plain(uint64_t* vec, int32_t seed, int shift) {
+  seed %= (int32_t)M31;
+  if (seed < 0) seed += (int32_t)M31;
+  if (seed == 0) seed = 89482311;
+  int32_t x = seed;
+  int s1 = shift, s2 = shift / 2;
+  for (int i = -20; i < LEN; i++) {
+    x = seedrand(x);
+    if (i >= 0) {
+      uint64_t u = (uint64_t)x << s1;
+      x = seedrand(x);
+      u ^= (uint64_t)x << s2;
+      x = seedrand(x);
+      u ^= (uint64_t)x;
+      vec[i] = u;
+    }
+  }
+}
+
+// Run the ALFG for W outputs over the ring buffer (block-vectorized:
+// chunks of <=273 have no intra-chunk dependency).
+static void alfg_run(uint64_t* b, long long W, bool mask_state) {
+  int pos = 0;
+  long long produced = 0;
+  while (produced < W) {
+    long long k = W - produced;
+    if (k > TAP) k = TAP;
+    if (k > LEN - pos) k = LEN - pos;
+    int op = pos + (LEN - TAP);
+    if (op >= LEN) op -= LEN;
+    long long k2 = k;
+    if (k2 > LEN - op) k2 = LEN - op;
+    if (mask_state) {
+      for (long long i = 0; i < k2; i++)
+        b[pos + i] = (b[pos + i] + b[op + i]) & MASK63;
+      for (long long i = k2; i < k; i++)
+        b[pos + i] = (b[pos + i] + b[op + i - LEN]) & MASK63;
+    } else {
+      for (long long i = 0; i < k2; i++) b[pos + i] += b[op + i];
+      for (long long i = k2; i < k; i++) b[pos + i] += b[op + i - LEN];
+    }
+    pos += k;
+    if (pos >= LEN) pos -= LEN;
+    produced += k;
+  }
+  // rotate so b[0..606] = the last 607 outputs in generation order:
+  // slot pos holds the oldest retained value
+  uint64_t tmp[LEN];
+  for (int i = 0; i < LEN; i++) tmp[i] = b[(pos + i) % LEN];
+  memcpy(b, tmp, sizeof(tmp));
+}
+
+// rng.go Seed with a candidate cooked table, then the Uint64/Int63 walk.
+struct GoRng {
+  uint64_t vec[LEN];
+  int tap, feed;
+  void seed(int64_t s, const uint64_t* cooked) {
+    tap = 0;
+    feed = LEN - TAP;
+    s %= M31;
+    if (s < 0) s += M31;
+    if (s == 0) s = 89482311;
+    int32_t x = (int32_t)s;
+    for (int i = -20; i < LEN; i++) {
+      x = seedrand(x);
+      if (i >= 0) {
+        uint64_t u = (uint64_t)x << 40;
+        x = seedrand(x);
+        u ^= (uint64_t)x << 20;
+        x = seedrand(x);
+        u ^= (uint64_t)x;
+        u ^= cooked[i];
+        vec[i] = u;
+      }
+    }
+  }
+  uint64_t uint64v() {
+    if (--tap < 0) tap += LEN;
+    if (--feed < 0) feed += LEN;
+    uint64_t x = vec[feed] + vec[tap];
+    vec[feed] = x;
+    return x;
+  }
+  int64_t int63() { return (int64_t)(uint64v() & MASK63); }
+};
+
+int main(int argc, char** argv) {
+  if (argc < 4) {
+    fprintf(stderr, "usage: %s <warmup> <shift:40|20> <mask:0|1>\n", argv[0]);
+    return 2;
+  }
+  long long W = atoll(argv[1]);
+  int shift = atoi(argv[2]);
+  bool mask = atoi(argv[3]) != 0;
+  uint64_t b[LEN];
+  srand_plain(b, 1, shift);
+  alfg_run(b, W, mask);
+  // candidate cooked = the NEXT 607 outputs after warmup
+  uint64_t cooked[LEN];
+  uint64_t st[LEN];
+  memcpy(st, b, sizeof(b));
+  // generate 607 more one block at a time
+  {
+    int pos = 0;
+    int produced = 0;
+    // st currently: st[i] = x_{n-607+i}; next outputs overwrite st[0..]
+    uint64_t ring[LEN];
+    memcpy(ring, st, sizeof(st));
+    while (produced < LEN) {
+      int k = TAP;
+      if (k > LEN - pos) k = LEN - pos;
+      if (k > LEN - produced) k = LEN - produced;
+      int op = pos + (LEN - TAP);
+      if (op >= LEN) op -= LEN;
+      int k2 = k;
+      if (k2 > LEN - op) k2 = LEN - op;
+      for (int i = 0; i < k2; i++) {
+        uint64_t v = ring[pos + i] + ring[op + i];
+        if (mask) v &= MASK63;
+        ring[pos + i] = v;
+        cooked[produced + i] = v;
+      }
+      for (int i = k2; i < k; i++) {
+        uint64_t v = ring[pos + i] + ring[op + i - LEN];
+        if (mask) v &= MASK63;
+        ring[pos + i] = v;
+        cooked[produced + i] = v;
+      }
+      pos += k;
+      if (pos >= LEN) pos -= LEN;
+      produced += k;
+    }
+  }
+  GoRng rng;
+  rng.seed(1, cooked);
+  int64_t v1 = rng.int63();
+  int64_t want = 5577006791947779410LL;
+  if (v1 == want) {
+    int64_t v2 = rng.int63();
+    printf("MATCH v2=%lld\n", (long long)v2);
+    for (int i = 0; i < LEN; i++) printf("%llu\n", (unsigned long long)cooked[i]);
+    return 0;
+  }
+  printf("NO %lld\n", (long long)v1);
+  return 1;
+}
