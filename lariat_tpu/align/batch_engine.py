@@ -24,6 +24,7 @@ schedule changes. Mate rescue still runs on the host reference path.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -161,6 +162,10 @@ class BatchAlignmentEngine(AlignmentEngine):
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        # device wave accounting (wall time spent with a wave dispatched or
+        # downloading, summed across priming threads): the CLI reports
+        # wall / elapsed as the device-busy fraction proxy
+        self.wave_stats = {"wall": 0.0, "n": 0}
         self._warmup = _start_transfer_warmup()
 
     def wait_warmup(self) -> None:
@@ -300,6 +305,7 @@ class BatchAlignmentEngine(AlignmentEngine):
                 kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                           o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
                           end_bonus=bonus, zdrop=opt.zdrop)
+                t_dev = time.time()
                 if self.use_pallas:
                     from ..ops.sw_extend_pallas import extend_batch_pallas
                     res = extend_batch_pallas(
@@ -310,6 +316,8 @@ class BatchAlignmentEngine(AlignmentEngine):
                     res = sw_batch.extend_batch(q, qlen, t, tlen, mat, w, h0,
                                                 packed=True, **kw)
                 rows = np.asarray(res)   # ONE transfer per wave: (6+, B)
+                self.wave_stats["wall"] += time.time() - t_dev
+                self.wave_stats["n"] += 1
                 sess.feed(rows[0], rows[1], rows[2], rows[3], rows[4],
                           rows[5])
                 if dbg:
@@ -570,7 +578,8 @@ class BatchAlignmentEngine(AlignmentEngine):
         from .ksw import local_align_batch
         opt = self.opt
         tp = self._tier_plan(max((len(rev) for rev, _ in tasks), default=64))
-        return local_align_batch(
+        t_dev = time.time()
+        out = local_align_batch(
             [(rev.astype(np.int64), ref.astype(np.int64))
              for rev, ref in tasks],
             self.mat, opt.gap_open_del, opt.gap_extend_del,
@@ -578,6 +587,9 @@ class BatchAlignmentEngine(AlignmentEngine):
             opt.min_seed_len * opt.match_score,
             backend="pallas" if self.use_pallas else "xla",
             q_tiers=tp["loc_q"], t_tiers=tp["loc_t"])
+        self.wave_stats["wall"] += time.time() - t_dev
+        self.wave_stats["n"] += 1
+        return out
 
     def prime_regions(self, recs, score_delta: Optional[int] = None
                       ) -> List[tuple]:
@@ -722,10 +734,19 @@ class BatchAlignmentEngine(AlignmentEngine):
         opt = self.opt
         sess = st["sess"]
         mat = np.asarray(self.mat)
-        tiers = (self._tier_plan(max(
-            (len(seq) for seq, reg in st["tasks"] if reg is not None),
-            default=64))["r2a"]
-            if self.use_pallas else {})
+        tiers = {}
+        if self.use_pallas:
+            tiers = dict(self._tier_plan(max(
+                (len(seq) for seq, reg in st["tasks"] if reg is not None),
+                default=64))["r2a"])
+            # pin wave B to the chunk size: ladder retry waves are tiny and
+            # varied, and every distinct (B, Lq, Lt) is a fresh remote
+            # Mosaic compile — padding them to one B keeps the whole
+            # reg2aln shape set at q_tiers x t_tiers (r2a_wave_pad=0
+            # restores plain pow2 bucketing, e.g. for interpret-mode tests)
+            pad = getattr(self, "r2a_wave_pad", self.R2ALN_CHUNK)
+            if pad:
+                tiers["pad_b"] = lambda n: max(pad, _pow2_bucket(n))
         q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
         kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                   o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
@@ -790,9 +811,12 @@ class BatchAlignmentEngine(AlignmentEngine):
                         if st["sess"] is not None and st["sess"].pending()]
                 if not live:
                     break
+                t_dev = time.time()
                 handles = [(st, self._r2s_dispatch(st)) for st in live]
                 for st, h in handles:
                     self._r2s_feed(st, h)
+                self.wave_stats["wall"] += time.time() - t_dev
+                self.wave_stats["n"] += len(handles)
         finally:
             metas = []
             for st in states:

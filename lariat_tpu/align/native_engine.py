@@ -273,8 +273,8 @@ def mismatch_walk_fetch_batch(fm, walks) -> Optional[list]:
     out = []
     stats_l = stats.tolist()
     mm_offs_l = mm_offs.tolist()
-    mm0 = mm[:, 0].tolist()
-    mm1 = mm[:, 1].tolist()
+    mm0 = mm[:total, 0].tolist()
+    mm1 = mm[:total, 1].tolist()
     for i in range(n):
         o = mm_offs_l[i]
         st = stats_l[i]

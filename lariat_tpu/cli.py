@@ -54,12 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
       help="write a jax profiler trace to this directory (single-process "
            "mode) and print per-stage wall times")
     a("-use_device", "--use_device", choices=["auto", "on", "off"],
-      default="off",
-      help="prime candidate-generation DP on the accelerator. Off by "
-           "default: the native host path keeps 4 workers busy, and "
-           "per-process kernel compile warmup on remote-compile TPU setups "
-           "can dominate short runs; turn on for long runs / resident "
-           "services where compiles amortize")
+      default="auto",
+      help="prime candidate-generation DP (seed-extend, mate rescue, "
+           "final global SW) on the accelerator; auto uses the device "
+           "whenever a non-CPU jax backend is present and falls back to "
+           "host-native workers otherwise. First run per kernel-shape set "
+           "pays a compile that persists in the jax compile cache.")
     return p
 
 
@@ -176,6 +176,15 @@ def run(argv=None):
         if args.use_device != "off":
             try:
                 import jax
+                # a cpu-pinned environment means no device: checking via
+                # default_backend() would make the TPU-tunnel plugin build
+                # its client anyway (it ignores JAX_PLATFORMS and injects
+                # itself into jax.config.jax_platforms), which can block
+                # for minutes when another client holds the tunnel
+                plat = os.environ.get("JAX_PLATFORMS", "")
+                cpu_pinned = bool(plat) and set(plat.split(",")) <= {"cpu"}
+                if args.use_device == "auto" and cpu_pinned:
+                    raise RuntimeError("jax pinned to cpu")
                 if args.use_device == "on" or jax.default_backend() != "cpu":
                     from .align.batch_engine import BatchAlignmentEngine
                     device_engine = BatchAlignmentEngine(fm)
@@ -270,6 +279,10 @@ def run(argv=None):
             print(f"stage times: align+rfa {t_align:.2f}s, emit {t_dump:.2f}s")
     bams.close()
     dt = time.time() - t0
+    if args.threads > 1 and device_engine is not None:
+        ws = device_engine.wave_stats
+        print(f"device waves: {ws['n']}  wave wall {ws['wall']:.1f}s  "
+              f"busy fraction {min(ws['wall'] / max(dt, 1e-9), 1.0):.2f}")
     print(f"Processed {n_pairs} read pairs across {n_bcs} barcodes "
           f"in {dt:.1f}s ({n_pairs / max(dt, 1e-9):.1f} pairs/s)")
     if args.simulated and stats.total:

@@ -106,6 +106,7 @@ def test_reg2aln_batch_pallas_interpret(dup_genome, monkeypatch):  # noqa: F811
     fm, genome = dup_genome
     host = AlignmentEngine(fm)
     batch = BatchAlignmentEngine(fm, use_pallas=True)
+    batch.r2a_wave_pad = 0  # interpret mode: keep wave B tiny
     rng = np.random.default_rng(43)
     seqs = _reads(genome, rng, n=10)
     tasks = []
