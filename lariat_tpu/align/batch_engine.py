@@ -156,12 +156,19 @@ class BatchAlignmentEngine(AlignmentEngine):
 
     def __init__(self, fm: FMIndex, opt: Optional[AlignerConfig] = None,
                  pair: Optional[PairModel] = None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None, mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh with axis "data"; wave
+        batches shard over it (batch dim) with the small per-wave params
+        replicated, so the production DP waves run SPMD across chips while
+        the host replay stays identical (bit-equality asserted by
+        __graft_entry__.dryrun_multichip)."""
         super().__init__(fm, opt, pair)
         if use_pallas is None:
             import jax
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas
+        self.mesh = mesh
+        self.shard_waves = 0          # waves whose inputs were mesh-sharded
         # device wave accounting (wall time spent with a wave dispatched or
         # downloading, summed across priming threads): the CLI reports
         # wall / elapsed as the device-busy fraction proxy
@@ -173,6 +180,21 @@ class BatchAlignmentEngine(AlignmentEngine):
         if self._warmup is not None:
             self._warmup.join()
             self._warmup = None
+
+    def _shard_wave(self, *arrays):
+        """device_put wave batches over the data mesh (batch dim sharded);
+        no-op without a mesh. Wave batch sizes are pow2 >= 128 so they
+        divide any power-of-two device count."""
+        if self.mesh is None:
+            return arrays
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        out = []
+        for a in arrays:
+            spec = P("data", *([None] * (np.ndim(a) - 1)))
+            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+        self.shard_waves += 1
+        return tuple(out)
 
     def _tier_plan(self, qmax: int) -> dict:
         """Wave-tier shape sets derived from the longest query seen so far.
@@ -301,6 +323,8 @@ class BatchAlignmentEngine(AlignmentEngine):
                     (len(s) for s in seqs), default=64))["ext"]
                     if self.use_pallas else {})
                 q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
+                q, qlen, t, tlen, h0, w = self._shard_wave(
+                    q, qlen, t, tlen, h0, w)
                 bonus = opt.pen_clip5 if sess.phase() == 0 else opt.pen_clip3
                 kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                           o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
@@ -586,7 +610,8 @@ class BatchAlignmentEngine(AlignmentEngine):
             opt.gap_open_ins, opt.gap_extend_ins,
             opt.min_seed_len * opt.match_score,
             backend="pallas" if self.use_pallas else "xla",
-            q_tiers=tp["loc_q"], t_tiers=tp["loc_t"])
+            q_tiers=tp["loc_q"], t_tiers=tp["loc_t"],
+            shard_fn=self._shard_wave if self.mesh is not None else None)
         self.wave_stats["wall"] += time.time() - t_dev
         self.wave_stats["n"] += 1
         return out
@@ -748,6 +773,7 @@ class BatchAlignmentEngine(AlignmentEngine):
             if pad:
                 tiers["pad_b"] = lambda n: max(pad, _pow2_bucket(n))
         q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
+        q, qlen, t, tlen, wv = self._shard_wave(q, qlen, t, tlen, wv)
         kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                   o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
         if self.use_pallas:

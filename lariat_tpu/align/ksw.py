@@ -481,7 +481,8 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
                       o_ins: int, e_ins: int, minsc: int,
                       backend: str = "xla",
                       q_tiers=None, t_tiers=None,
-                      interpret: bool = False) -> List[LocalResult]:
+                      interpret: bool = False,
+                      shard_fn=None) -> List[LocalResult]:
     """Device-batched ksw_align2 for many (query, target) tasks.
 
     ONE device dispatch and ONE result download for the whole batch: the
@@ -525,6 +526,8 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
         ta[i, :len(ti)] = ti
         qlen[i] = len(qi)
         tlen[i] = len(ti)
+    if shard_fn is not None:   # mesh-shard the wave over the batch dim
+        qa, qlen, ta, tlen, minscs = shard_fn(qa, qlen, ta, tlen, minscs)
     if backend == "pallas":
         from ..ops.sw_local_pallas import local_two_pass_pallas
         params = _mat_params(np.asarray(mat))

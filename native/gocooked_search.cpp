@@ -119,7 +119,58 @@ struct GoRng {
   int64_t int63() { return (int64_t)(uint64v() & MASK63); }
 };
 
+
+static const uint64_t C0 = (uint64_t)(-4181792142133755926LL);
+static const uint64_t C1 = (uint64_t)(-4576982950128230565LL);
+
+static int scan_main(int shift, long long maxW) {
+  uint64_t b[LEN];
+  srand_plain(b, 1, shift);
+  // blocked generation (vectorizable adds) + vector compare per block
+  int pos = 0;
+  long long produced = 0;
+  while (produced < maxW) {
+    long long k = TAP;
+    if (k > LEN - pos) k = LEN - pos;
+    int op = pos + (LEN - TAP);
+    if (op >= LEN) op -= LEN;
+    long long k2 = k;
+    if (k2 > LEN - op) k2 = LEN - op;
+    for (long long i = 0; i < k2; i++) b[pos + i] += b[op + i];
+    for (long long i = k2; i < k; i++) b[pos + i] += b[op + i - LEN];
+    long long nf = 0;
+    for (long long i = 0; i < k; i++) nf += (b[pos + i] == C0);
+    int hit = -1;
+    if (nf)
+      for (long long i = 0; i < k; i++)
+        if (b[pos + i] == C0) { hit = (int)i; break; }
+    if (hit >= 0) {
+      // verify: next output after the hit equals C1. Recompute the
+      // successor x_{n+1} = x_{n+1-273} + x_{n+1-607}. In buffer terms the
+      // successor of slot pos+hit is slot pos+hit+1 (or the next block).
+      long long W = produced + hit;  // outputs before the table entry
+      // regenerate cleanly up to W+2 outputs and compare
+      uint64_t c[LEN];
+      srand_plain(c, 1, shift);
+      alfg_run(c, W + 2, false);
+      if (c[LEN - 2] == C0 && c[LEN - 1] == C1) {
+        printf("FOUND W=%lld\n", W);
+        return 0;
+      }
+    }
+    pos += (int)k;
+    if (pos >= LEN) pos -= LEN;
+    produced += k;
+    if ((produced % (1LL<<34)) < TAP) fprintf(stderr, "scan %lld\n", produced);
+  }
+  printf("NOTFOUND up to %lld\n", maxW);
+  return 1;
+}
+
 int main(int argc, char** argv) {
+  if (argc >= 2 && strcmp(argv[1], "scan") == 0) {
+    return scan_main(atoi(argv[2]), atoll(argv[3]));
+  }
   if (argc < 4) {
     fprintf(stderr, "usage: %s <warmup> <shift:40|20> <mask:0|1>\n", argv[0]);
     return 2;
@@ -179,3 +230,9 @@ int main(int argc, char** argv) {
   printf("NO %lld\n", (long long)v1);
   return 1;
 }
+
+// ---- scan mode (second entry point via main2-style dispatch) ----
+// Usage: gocooked_search scan <shift> <maxW>
+// Runs the UNMASKED ALFG from srand(1) and scans the output stream for the
+// remembered first rngCooked entry; on hit, verifies the second entry and
+// prints the warmup count W (outputs consumed before the table starts).
