@@ -223,6 +223,18 @@ def main() -> None:
     }
     hg38 = _hg38_runs(workdir)
     detail.update(hg38)
+    # per-kernel %SOL roofline (separate process: one tunnel client at a
+    # time, and it must not share this process's jax state)
+    try:
+        roof = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/kernel_roofline.py")],
+            env={**os.environ, "PYTHONPATH": REPO + (
+                 ":" + os.environ["PYTHONPATH"]
+                 if os.environ.get("PYTHONPATH") else "")},
+            capture_output=True, text=True, timeout=1800)
+        detail["roofline"] = json.loads(roof.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        detail["roofline_error"] = str(e)[:200]
     try:
         detail.update(_device_step_detail(fa))
     except Exception as e:  # device detail must never sink the primary metric

@@ -1,0 +1,174 @@
+"""Per-kernel speed-of-light accounting on the real chip (VERDICT r2 #5).
+
+Measures the three DP wave kernels (banded extend, banded global, local
+two-pass) and the FM rank primitive at their production tier shapes, and
+reports %SOL against an explicit v5e roofline model:
+
+ - VPU peak: the TPU v5e TensorCore VPU is an (8, 128) vector unit with 4
+   independent ALUs (jax-ml.github.io/scaling-book): 8*128*4 = 4096 int32
+   lanes/cycle at ~1.6 GHz => ~6.6e12 int32 op/s. The DP kernels are pure
+   VPU int32 work (adds/max/select) — the MXU is idle by design, DP has no
+   matmul shape.
+ - HBM roofline for rank lookups: ~8.1e11 B/s (v5e HBM BW); each occ
+   lookup touches one 64 B checkpoint block, so lookups/s caps at
+   BW / 64 (random access makes the realistic cap far lower).
+
+ops_per_cell: int32 VPU ops per DP cell counted from the kernel inner
+loops (document, not measurement): extend ~34 (H/E/F updates, zdrop
+bookkeeping, masks), global ~22 (+direction-byte packing), local ~30
+(two passes amortized into the per-cell figure of the fused kernel).
+
+Usage:  python tools/kernel_roofline.py            (prints one JSON line)
+NOTE: needs the TPU; run while no other tunnel client is live.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+VPU_INT32_PEAK = 4096 * 1.6e9          # ops/s (model above)
+HBM_BW = 8.1e11                        # B/s
+
+
+def _time_fn(fn, iters=5):
+    fn()  # warm/compile
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    np.asarray(out)  # materialize through the tunnel (sync!)
+    return (time.time() - t0) / iters
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo")
+    import jax
+
+    from lariat_tpu.align import ksw
+    from lariat_tpu.ops import sw_extend_pallas, sw_global_pallas
+    from lariat_tpu.ops import sw_local_pallas
+
+    rng = np.random.default_rng(5)
+    mat = np.asarray(ksw.fill_score_matrix(1, 4))
+    out = {"device": str(jax.devices()[0]),
+           "model": {"vpu_int32_peak_ops_s": VPU_INT32_PEAK,
+                     "hbm_bw_B_s": HBM_BW}}
+
+    # ---- banded extend (production tier 8192 x 192q x 576t) --------------
+    B, Lq, Lt = 8192, 192, 576
+    q = rng.integers(0, 4, (B, Lq)).astype(np.int32)
+    t = rng.integers(0, 4, (B, Lt)).astype(np.int32)
+    qlen = np.full(B, 151, np.int32)
+    tlen = np.full(B, 400, np.int32)
+    w = np.full(B, 100, np.int32)
+    h0 = np.full(B, 30, np.int32)
+
+    def run_ext():
+        return sw_extend_pallas.extend_batch_pallas(
+            q, qlen, t, tlen, mat, w, h0, o_del=6, e_del=1, o_ins=6,
+            e_ins=1, end_bonus=5, zdrop=100, match_sc=1, mismatch_sc=-4,
+            packed=True)
+
+    dt = _time_fn(run_ext)
+    cells = float(B) * Lq * Lt
+    ops = 34.0
+    eff = cells * ops / dt
+    out["extend"] = {
+        "ms": round(dt * 1e3, 2), "padded_cells_per_s": round(cells / dt),
+        "ops_per_cell": ops, "eff_int32_ops_s": round(eff),
+        "sol_pct": round(100 * eff / VPU_INT32_PEAK, 1),
+        "useful_cell_frac": round(151 * 201 / (Lq * Lt), 3)}
+
+    # ---- banded global + device traceback (2048 x 192q x 576t) -----------
+    Bg = 2048
+    qg = rng.integers(0, 4, (Bg, 192)).astype(np.int32)
+    tg = rng.integers(0, 4, (Bg, 576)).astype(np.int32)
+    qlg = np.full(Bg, 151, np.int32)
+    tlg = np.full(Bg, 160, np.int32)
+    wg = np.full(Bg, 20, np.int32)
+
+    def run_glob():
+        res = sw_global_pallas.global_batch_pallas_packed(
+            qg, qlg, tg, tlg, mat, wg, match_sc=1, mismatch_sc=-4,
+            o_del=6, e_del=1, o_ins=6, e_ins=1)
+        S = 192 + 576
+        return sw_global_pallas.traceback_ops_fused(
+            res.z, qlg, tlg, wg, res.score, S=S)
+
+    dt = _time_fn(run_glob)
+    cells = float(Bg) * 192 * 576
+    ops = 22.0
+    eff = cells * ops / dt
+    out["global_tb"] = {
+        "ms": round(dt * 1e3, 2), "padded_cells_per_s": round(cells / dt),
+        "ops_per_cell": ops, "eff_int32_ops_s": round(eff),
+        "sol_pct": round(100 * eff / VPU_INT32_PEAK, 1),
+        "dl_bytes_per_wave": Bg * (768 // 4 + 12)}
+
+    # ---- local two-pass (rescue tier 2048 x 192q x 704t) -----------------
+    Bl = 2048
+    ql = rng.integers(0, 4, (Bl, 192)).astype(np.uint8)
+    tl = rng.integers(0, 4, (Bl, 704)).astype(np.uint8)
+    qll = np.full(Bl, 151, np.int32)
+    tll = np.full(Bl, 686, np.int32)
+    minsc = np.full(Bl, 19, np.int32)
+
+    def run_loc():
+        return sw_local_pallas.local_two_pass_pallas(
+            ql, qll, tl, tll, minsc, o_del=6, e_del=1, o_ins=6, e_ins=1,
+            match_sc=1, mismatch_sc=-4, n_sc=-1)
+
+    dt = _time_fn(run_loc)
+    cells = 2.0 * Bl * 192 * 704          # two passes
+    ops = 30.0
+    eff = cells * ops / dt
+    out["local_2pass"] = {
+        "ms": round(dt * 1e3, 2), "padded_cells_per_s": round(cells / dt),
+        "ops_per_cell": ops, "eff_int32_ops_s": round(eff),
+        "sol_pct": round(100 * eff / VPU_INT32_PEAK, 1)}
+
+    # ---- FM rank primitive (occ1 over random k) --------------------------
+    try:
+        from lariat_tpu.index import fmindex
+        from lariat_tpu.ops import fm_batch
+        import tempfile
+        g = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, 1 << 20)]
+        with tempfile.NamedTemporaryFile("w", suffix=".fa",
+                                         delete=False) as f:
+            s = g.tobytes().decode()
+            f.write(">c\n")
+            for i in range(0, len(s), 70):
+                f.write(s[i:i + 70] + "\n")
+            path = f.name
+        fm = fmindex.build_index(path)
+        dfm = fm_batch.DeviceFMIndex.from_host(fm)
+        Bk = 1 << 16
+        ks = rng.integers(0, fm.seq_len, Bk)
+        cs = rng.integers(0, 4, Bk).astype(np.int32)
+        import jax.numpy as jnp
+        kd = jnp.asarray(ks)
+        cd = jnp.asarray(cs)
+
+        def run_rank():
+            return fm_batch.occ1_batch(dfm, kd, cd)
+
+        dt = _time_fn(run_rank)
+        bytes_touched = Bk * 64.0
+        out["fm_rank"] = {
+            "ms": round(dt * 1e3, 3),
+            "lookups_per_s": round(Bk / dt),
+            "bytes_per_s": round(bytes_touched / dt),
+            "hbm_roofline_pct": round(
+                100 * (bytes_touched / dt) / HBM_BW, 2)}
+    except Exception as e:
+        out["fm_rank"] = {"error": str(e)[:200]}
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
