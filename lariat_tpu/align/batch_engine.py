@@ -281,6 +281,37 @@ class BatchAlignmentEngine(AlignmentEngine):
                 return out
         return self._align_batch_python(seqs)
 
+    def _device_seed(self, nonempty):
+        """Device 3-round SMEM seeding + SA walks (LARIAT_DEVICE_SEED=1);
+        bit-identical to the native C++ (ops/smem_device.py). Uploads the
+        FM arrays to HBM on first use (~7 GB at hg38 scale). None -> use
+        the host C++ seeder."""
+        import os
+        if not os.environ.get("LARIAT_DEVICE_SEED") or not nonempty:
+            return None
+        try:
+            st = getattr(self, "_dseed", None)
+            if st is None:
+                from ..ops import fm_batch, smem_device
+                from ..parallel.align_step import DeviceGenome
+                st = (fm_batch.DeviceFMIndex.from_host(self.fm),
+                      DeviceGenome.from_host(self.fm), smem_device)
+                self._dseed = st
+            dfm, dg, smem_device = st
+            t_dev = time.time()
+            out = smem_device.collect_seeds_rbegs_device(
+                dfm, dg, self.fm, nonempty, self.opt)
+            self.wave_stats["wall"] += time.time() - t_dev
+            self.wave_stats["n"] += 1
+            return out
+        except Exception as e:
+            import sys
+            print(f"device seeding unavailable ({e}); host C++ seeding",
+                  file=sys.stderr)
+            self._dseed = None
+            os.environ.pop("LARIAT_DEVICE_SEED", None)
+            return None
+
     def _align_batch_session(self, seqs: List[bytes]
                              ) -> Optional[List[List[AlnReg]]]:
         from .engine import encode_read
@@ -290,7 +321,10 @@ class BatchAlignmentEngine(AlignmentEngine):
         opt = self.opt
         qs = [encode_read(s) for s in seqs]
         nonempty = [q for q in qs if len(q)]
-        seeded = native_ops.collect_seeds_rbegs_batch(self.fm, nonempty, opt)
+        seeded = self._device_seed(nonempty)
+        if seeded is None:
+            seeded = native_ops.collect_seeds_rbegs_batch(self.fm, nonempty,
+                                                          opt)
         if seeded is None:
             return None
         mems_ne, rbegs_ne = seeded

@@ -130,7 +130,7 @@ def main() -> None:
         "ops_per_cell": ops, "eff_int32_ops_s": round(eff),
         "sol_pct": round(100 * eff / VPU_INT32_PEAK, 1)}
 
-    # ---- FM rank primitive (occ1 over random k) --------------------------
+    # ---- FM rank primitive (occ1 over random k) + real SMEM seeding ------
     try:
         from lariat_tpu.index import fmindex
         from lariat_tpu.ops import fm_batch
@@ -164,6 +164,36 @@ def main() -> None:
             "bytes_per_s": round(bytes_touched / dt),
             "hbm_roofline_pct": round(
                 100 * (bytes_touched / dt) / HBM_BW, 2)}
+
+        # real 3-round SMEM seeding on device (VERDICT r2 #3: the bench
+        # device numbers include production seeding, not a toy)
+        from lariat_tpu.config import AlignerConfig
+        from lariat_tpu.ops import smem_device
+        from lariat_tpu.parallel.align_step import DeviceGenome
+        opt = AlignerConfig()
+        dg = jax.device_put(DeviceGenome.from_host(fm))
+        Rr, Lr = 2048, 151
+        codes = fm.get_seq_codes(0, fm.l_pac)
+        seeds_reads = []
+        for i in range(Rr):
+            p = int(rng.integers(0, fm.l_pac - Lr))
+            seg = codes[p:p + Lr].copy()
+            seg[int(rng.integers(0, Lr))] = (seg[0] + 1) % 4
+            seeds_reads.append(seg)
+        t0 = time.time()
+        mems, rbegs = smem_device.collect_seeds_rbegs_device(
+            dfm, dg, fm, seeds_reads, opt)
+        warm = time.time() - t0
+        t0 = time.time()
+        mems, rbegs = smem_device.collect_seeds_rbegs_device(
+            dfm, dg, fm, seeds_reads, opt)
+        dt = time.time() - t0
+        out["smem_seed"] = {
+            "reads": Rr, "ms": round(dt * 1e3, 1),
+            "reads_per_s": round(Rr / dt),
+            "warm_ms": round(warm * 1e3, 1),
+            "mems_total": int(sum(len(m) for m in mems)),
+            "rbegs_total": int(sum(len(r) for r in rbegs))}
     except Exception as e:
         out["fm_rank"] = {"error": str(e)[:200]}
 
