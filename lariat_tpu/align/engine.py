@@ -52,7 +52,7 @@ def encode_read(seq: bytes) -> np.ndarray:
     return arr
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class SingleReadAlignment:
     """mem_aln_t equivalent (bwa_bridge.h:6-16 field meanings)."""
     pos: int = -1              # contig-local forward 5' position
@@ -74,7 +74,7 @@ class SingleReadAlignment:
                  self.read_s, self.read_e))
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class EasyAlignment:
     """InterpretAlign output (gobwa.go:88-98)."""
     offset: int

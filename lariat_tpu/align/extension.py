@@ -22,7 +22,7 @@ PATCH_MAX_R_BW = 0.15
 PATCH_MIN_SC_RATIO = 0.90
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class AlnReg:
     """Candidate alignment region (mem_alnreg_t equivalent)."""
     rb: int = 0          # [rb, re): reference interval on the doubled text

@@ -201,11 +201,13 @@ def run(argv=None):
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
-            # two priming threads pipeline independent groups: one group's
+            # priming threads pipeline independent groups: one group's
             # host stages (seeding, session control, packing) overlap the
             # other's device waves. Yield order stays reader order, so the
             # BAM output is byte-identical to the host-native run.
-            ex = ThreadPoolExecutor(max_workers=2,
+            n_prime = max(1, int(os.environ.get("LARIAT_PRIME_THREADS",
+                                                "2")))
+            ex = ThreadPoolExecutor(max_workers=n_prime,
                                     thread_name_prefix="lariat-prime")
             futs = deque()
             try:
@@ -227,7 +229,7 @@ def run(argv=None):
                                               buf, config))
                         buf = []
                         pending = 0
-                        while len(futs) >= 2:
+                        while len(futs) >= n_prime:
                             yield from futs.popleft().result()
                 if buf:
                     futs.append(ex.submit(_prime_group, device_engine, buf,

@@ -20,7 +20,7 @@ from .scoring import is_pair, pair_total_matrix, score_alignment
 from .types import Alignment, MapQData
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(slots=True)
 class ChainedHit:
     """ChainedHit (lariat.go:50-66): one candidate region for one read."""
     contig: str = ""
