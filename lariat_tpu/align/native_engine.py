@@ -223,38 +223,41 @@ def mismatch_walk_fetch_batch(fm, walks) -> Optional[list]:
     n = len(walks)
     if n == 0:
         return []
+    from itertools import chain
     l_pac = int(fm.l_pac)
-    cig_parts = []
-    tasks = np.zeros((n, 9), np.int64)
+    cigs, reads_l, goffs, rss, res_, revs = zip(*walks)
+    ncig = np.fromiter(map(len, cigs), np.int64, n)
+    total_ops = int(ncig.sum())
+    cigars = (np.fromiter(chain.from_iterable(chain.from_iterable(cigs)),
+                          np.int32, 2 * total_ops)
+              if total_ops else np.zeros(1, np.int32))
+    tasks = np.empty((n, 9), np.int64)
+    tasks[0, 0] = 0
+    np.cumsum(2 * ncig[:-1], out=tasks[1:, 0])
+    tasks[:, 1] = ncig
+    goff_a = np.fromiter(goffs, np.int64, n)
+    rs_a = np.fromiter(rss, np.int64, n)
+    re_a = np.fromiter(res_, np.int64, n)
+    np.clip(goff_a + rs_a, 0, None, out=tasks[:, 2])
+    np.clip(goff_a + re_a, None, l_pac, out=tasks[:, 3])
+    tasks[:, 6] = rs_a
+    tasks[:, 7] = re_a
+    tasks[:, 8] = np.fromiter(revs, bool, n)
     read_offs: dict = {}
     read_chunks = []
     read_total = 0
-    coff = 0
-    read_lens_sum = 0
-    for i, (cigar, read, goff, rs, re_, rev) in enumerate(walks):
-        flat = [v for pair in cigar for v in pair]
-        cig_parts.append(flat)
-        tasks[i, 0] = coff
-        tasks[i, 1] = len(cigar)
-        coff += 2 * len(cigar)
-        gs = goff + rs
-        ge = goff + re_
-        tasks[i, 2] = 0 if gs < 0 else gs
-        tasks[i, 3] = l_pac if ge > l_pac else ge
+    col4 = tasks[:, 4]
+    col5 = tasks[:, 5]
+    for i, read in enumerate(reads_l):
         ro = read_offs.get(id(read))
         if ro is None:
             ro = read_total
             read_offs[id(read)] = ro
             read_chunks.append(read)
             read_total += len(read)
-        tasks[i, 4] = ro
-        tasks[i, 5] = len(read)
-        read_lens_sum += len(read)
-        tasks[i, 6] = rs
-        tasks[i, 7] = re_
-        tasks[i, 8] = 1 if rev else 0
-    cigars = np.array([v for part in cig_parts for v in part] or [0],
-                      dtype=np.int32)
+        col4[i] = ro
+        col5[i] = len(read)
+    read_lens_sum = int(col5.sum())
     reads = np.frombuffer(b"".join(read_chunks) or b"\0", np.uint8)
     stats = np.empty((n, 6), np.int64)
     mm_offs = np.empty(n, np.int64)
