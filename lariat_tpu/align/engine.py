@@ -483,6 +483,34 @@ class AlignmentEngine:
 
     # ------------------------------------------------------------- interpret
 
+    def interpret_many(self, regs: List[AlnReg]) -> List[EasyAlignment]:
+        """Vectorized interpret_align over many regions (identical output;
+        the coordinate unprojection is pure elementwise math)."""
+        n = len(regs)
+        if n < 8:
+            return [self.interpret_align(r) for r in regs]
+        fm = self.fm
+        rb = np.fromiter((r.rb for r in regs), np.int64, n)
+        re_ = np.fromiter((r.re for r in regs), np.int64, n)
+        rid = np.fromiter((r.rid for r in regs), np.int64, n)
+        offs = getattr(fm, "_contig_offs", None)
+        if offs is None:
+            offs = np.array([c.offset for c in fm.contigs], dtype=np.int64)
+            fm._contig_offs = offs
+        offv = offs[rid]
+        rev = rb >= fm.l_pac
+        offset = (np.where(rev, fm.seq_len - 1 - rb, rb) - offv).tolist()
+        aend = (np.where(re_ < fm.l_pac, re_, fm.seq_len - 1 - re_)
+                - offv).tolist()
+        rev_l = rev.tolist()
+        contigs = fm.contigs
+        rid_l = rid.tolist()
+        return [EasyAlignment(offset=offset[i], alignment_end=aend[i],
+                              contig=contigs[rid_l[i]].name,
+                              reversed_=rev_l[i], region=r, score=r.score,
+                              secondary=False, read_s=r.qb, read_e=r.qe)
+                for i, r in enumerate(regs)]
+
     def interpret_align(self, reg: AlnReg) -> EasyAlignment:
         """InterpretAlign (gobwa.go:339-371): unproject doubled coordinates."""
         fm = self.fm

@@ -53,20 +53,43 @@ def get_chains(engine: AlignmentEngine, reads: List[FastQRecord],
     cache = getattr(engine, "_pair_cache", None)
     if primed_regions is not None:
         from ..align.engine import encode_read
-        pair_results = []
-        for rec, primed in zip(reads, primed_regions):
-            # (regs1, regs2) = pre-rescue; (regs1, regs2, True) = the priming
-            # pass already ran device-batched mate rescue; a 5-tuple adds
-            # per-region final-SW results (reg2aln primed on device too)
-            regs1, regs2 = primed[0], primed[1]
-            rescued = len(primed) > 2 and primed[2]
-            if len(primed) > 4:
-                if pair_sras is None:
-                    pair_sras = [None] * len(reads)
-                pair_sras[len(pair_results)] = (primed[3], primed[4])
-            pair_results.append(engine.finish_pair(
-                encode_read(rec.read1), encode_read(rec.read2),
-                regs1, regs2, score_delta, skip_rescue=rescued))
+        # (regs1, regs2) = pre-rescue; (regs1, regs2, True) = the priming
+        # pass already ran device-batched mate rescue; a 5-tuple adds
+        # per-region final-SW results (reg2aln primed on device too).
+        # Fully-primed pairs skip finish_pair: one barcode-wide
+        # interpret_many replaces the per-pair interpret loops.
+        all_rescued = all(len(p) > 2 and p[2] for p in primed_regions)
+        if all_rescued and hasattr(engine, "interpret_many"):
+            flat_regs = []
+            counts = []
+            for primed in primed_regions:
+                flat_regs.extend(primed[0])
+                flat_regs.extend(primed[1])
+                counts.append((len(primed[0]), len(primed[1])))
+            eas = engine.interpret_many(flat_regs)
+            pair_results = []
+            off = 0
+            for k, (n1, n2) in enumerate(counts):
+                pair_results.append((eas[off:off + n1],
+                                     eas[off + n1:off + n1 + n2]))
+                off += n1 + n2
+                primed = primed_regions[k]
+                if len(primed) > 4:
+                    if pair_sras is None:
+                        pair_sras = [None] * len(reads)
+                    pair_sras[k] = (primed[3], primed[4])
+        else:
+            pair_results = []
+            for rec, primed in zip(reads, primed_regions):
+                regs1, regs2 = primed[0], primed[1]
+                rescued = len(primed) > 2 and primed[2]
+                if len(primed) > 4:
+                    if pair_sras is None:
+                        pair_sras = [None] * len(reads)
+                    pair_sras[len(pair_results)] = (primed[3], primed[4])
+                pair_results.append(engine.finish_pair(
+                    encode_read(rec.read1), encode_read(rec.read2),
+                    regs1, regs2, score_delta, skip_rescue=rescued))
     elif cache is not None and reads and id(reads[0]) in cache:
         pair_results = [cache.pop(id(rec)) for rec in reads]
     elif hasattr(engine, "align_batch") and reads:
