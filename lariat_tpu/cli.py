@@ -171,7 +171,8 @@ def run(argv=None):
         # threads and fork-after-threads deadlocks
         runner = ParallelRunner(engine, config, centromeres, bams.tid,
                                 args.debugBamTags, args.simulated,
-                                args.threads)
+                                args.threads,
+                                position_chunk_size=args.position_chunk_size)
         device_engine = None
         if args.use_device != "off":
             try:

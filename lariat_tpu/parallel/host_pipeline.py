@@ -38,9 +38,13 @@ _FORK_STATE: dict = {}
 
 @dataclasses.dataclass
 class PackedBarcode:
-    """One barcode's output: packed records for each destination."""
+    """One barcode's output: packed records for each destination.
+
+    Bucket records are pre-grouped and concatenated per destination in the
+    worker, so the (serial) writer does one append per touched bucket
+    instead of one per record."""
     bc_sorted: bytes                       # concatenated record bytes
-    buckets: List[Tuple[str, int, bytes]]  # (contig|'unmapped', pos, record)
+    buckets: List[Tuple[str, int, bytes]]  # (contig|'unmapped', chunk, blob)
     n_reads: int
     stats: Tuple[int, int, int, int]
 
@@ -61,8 +65,9 @@ def _run_one(work) -> PackedBarcode:
                              primed_regions=primed)
     tid = _G["tid"]
     debug_tags = _G["debug_tags"]
+    chunk_size = _G.get("position_chunk_size", 40000000)
     bc_parts: List[bytes] = []
-    buckets: List[Tuple[str, int, bytes]] = []
+    by_bucket: Dict[Tuple[str, int], List[bytes]] = {}
     for arr in result.alignments:
         if not arr:
             raise RuntimeError("not all read_ids are spoken for")
@@ -76,14 +81,18 @@ def _run_one(work) -> PackedBarcode:
                                    debug_tags).pack()
                 bc_parts.append(rec)
                 if out_aln.is_unmapped():
-                    buckets.append(("unmapped", 0, rec))
+                    key = ("unmapped", 0)
                 else:
-                    buckets.append((out_aln.contig, int(out_aln.pos), rec))
+                    key = (out_aln.contig, int(out_aln.pos) // chunk_size)
+                by_bucket.setdefault(key, []).append(rec)
             read_output = True
         if not read_output:
             raise RuntimeError("read_id has no active alignment")
     return PackedBarcode(
-        bc_sorted=b"".join(bc_parts), buckets=buckets, n_reads=len(reads),
+        bc_sorted=b"".join(bc_parts),
+        buckets=[(c, i, b"".join(parts))
+                 for (c, i), parts in by_bucket.items()],
+        n_reads=len(reads),
         stats=(stats.total, stats.correct, stats.total_mapq10,
                stats.correct_mapq10))
 
@@ -93,10 +102,12 @@ class ParallelRunner:
 
     def __init__(self, engine: AlignmentEngine, config: RFAConfig,
                  centromeres: Dict[str, Region], tid: Dict[str, int],
-                 debug_tags: bool, simulated: bool, threads: int):
+                 debug_tags: bool, simulated: bool, threads: int,
+                 position_chunk_size: int = 40000000):
         _FORK_STATE.update(
             engine=engine, config=config, centromeres=centromeres, tid=tid,
-            debug_tags=debug_tags, simulated=simulated)
+            debug_tags=debug_tags, simulated=simulated,
+            position_chunk_size=position_chunk_size)
         ctx = mp.get_context("fork")
         self.pool = ctx.Pool(
             processes=max(threads, 1), initializer=_init_worker)
@@ -113,9 +124,9 @@ class ParallelRunner:
 def write_packed(bams, packed: PackedBarcode) -> None:
     """Append a finished barcode's records to the dual outputs."""
     bams.barcode_sorted._bgzf.write(packed.bc_sorted)
-    for contig, pos, rec in packed.buckets:
+    for contig, chunk, blob in packed.buckets:
         if contig == "unmapped":
             w = bams.position_bucketed["unmapped"][0]
         else:
-            w = bams.position_bucketed[contig][pos // bams.position_chunk_size]
-        w._bgzf.write(rec)
+            w = bams.position_bucketed[contig][chunk]
+        w._bgzf.write(blob)
