@@ -155,12 +155,15 @@ def _hg38_runs(workdir: str) -> dict:
 
 
 def _device_step_detail(fa: str) -> dict:
-    """Round-1 proxy: single-seed device candidate step (kept as detail)."""
+    """Single-chip device step detail — REAL round-1 SMEM seeding (the
+    production enumeration kernel), SA walk, fetch, banded extension."""
     import jax
 
     from lariat_tpu.align import ksw
     from lariat_tpu.index import fmindex
-    from lariat_tpu.parallel.align_step import DeviceGenome, align_step
+    from lariat_tpu.parallel.align_step import (DeviceGenome,
+                                                align_step_smem as
+                                                align_step)
 
     fm = fmindex.FMIndex.load(fa)
     rng = np.random.default_rng(7)

@@ -204,3 +204,72 @@ def exact_match_batch_suffix(fmd: DeviceFMIndex, reads: jnp.ndarray,
         return (k, l)
 
     return jax.lax.fori_loop(0, n_iters, step, (k0, l0))
+
+
+@functools.partial(jax.jit, static_argnames=("window", "min_seed_len",
+                                             "use_pallas"))
+def align_step_smem(g: DeviceGenome, reads: jnp.ndarray, lens: jnp.ndarray,
+                    mat: jnp.ndarray, window: int = 32,
+                    min_seed_len: int = 19,
+                    use_pallas: bool = False) -> AlignStepResult:
+    """One device alignment step with REAL round-1 SMEM seeding.
+
+    Runs the production SMEM enumeration kernel (ops/smem_device.py
+    min_starts lanes: minimal start per end position; [b(e), e) is an SMEM
+    iff b(e+1) > b(e)), anchors on the longest SMEM (ties: fewest
+    occurrences, then leftmost — a chain-weight proxy), SA-walks its first
+    occurrence, fetches the implied window and extends the full read.
+    Fully jittable: seeding, SA walk, fetch and DP all stay on device.
+    """
+    from ..ops.smem_device import min_starts_kernel
+
+    B, L = reads.shape
+    dt = g.fmd.idx_dtype
+    read_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), L)
+    e_arr = jnp.tile(jnp.arange(1, L + 1, dtype=jnp.int32), B)
+    b, x0, x1, s, valid = min_starts_kernel(
+        g.fmd, reads, read_idx, e_arr, jnp.ones(B * L, dt), L)
+    b = b.reshape(B, L)
+    x0 = x0.reshape(B, L)
+    s = s.reshape(B, L)
+    valid = valid.reshape(B, L)
+    e_mat = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :]
+    valid = valid & (e_mat <= lens[:, None])
+    BIGB = jnp.int32(1 << 30)
+    bnext = jnp.concatenate(
+        [jnp.where(valid[:, 1:], b[:, 1:], BIGB),
+         jnp.full((B, 1), BIGB, jnp.int32)], axis=1)
+    length = e_mat - b
+    is_smem = valid & (bnext > b) & (length >= min_seed_len)
+    # anchor pick: longest, then fewest occurrences, then leftmost
+    occ_pen = jnp.minimum(s.astype(jnp.int64), 1 << 20)
+    key = jnp.where(is_smem,
+                    length.astype(jnp.int64) * (1 << 24) - occ_pen, -1)
+    pick = jnp.argmax(key, axis=1)
+    mapped = jnp.take_along_axis(is_smem, pick[:, None], axis=1)[:, 0]
+    qb = jnp.take_along_axis(b, pick[:, None], axis=1)[:, 0]
+    sa_row = jnp.take_along_axis(x0, pick[:, None], axis=1)[:, 0]
+    n_hits = jnp.take_along_axis(s, pick[:, None], axis=1)[:, 0]
+    # SA walk of the first occurrence -> doubled-coords read start
+    pos_fmd = sa_lookup_batch(g, jnp.where(mapped, sa_row, 0))
+    dstart = pos_fmd - qb.astype(pos_fmd.dtype)
+    is_rev = pos_fmd >= g.l_pac   # strand of the occurrence itself
+    n64 = lens.astype(pos_fmd.dtype)
+    fwd_start = jnp.where(is_rev, 2 * g.l_pac - dstart - n64, dstart)
+    target = fetch_window_batch(g, fwd_start, L + window)
+    idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    rev_idx = jnp.clip(lens[:, None] - 1 - idx, 0, L - 1)
+    revcomp = jnp.where(
+        idx < lens[:, None],
+        jnp.where(jnp.take_along_axis(reads, rev_idx, axis=1) < 4,
+                  3 - jnp.take_along_axis(reads, rev_idx, axis=1), 4), 4)
+    oriented = jnp.where(is_rev[:, None], revcomp, reads)
+    ext_fn = extend_batch_pallas if use_pallas else extend_batch
+    ext = ext_fn(
+        oriented, lens, target,
+        jnp.full((B,), L + window, jnp.int32),
+        mat, jnp.full((B,), window, jnp.int32),
+        jnp.full((B,), 0, jnp.int32) + 19)
+    pos_out = jnp.where(mapped, fwd_start, -1)
+    return AlignStepResult(pos=pos_out, is_rev=is_rev & mapped,
+                           n_hits=n_hits, score=ext.score, mapped=mapped)

@@ -43,3 +43,40 @@ def test_align_step_forward_and_reverse(device_genome):
         assert int(res.pos[i]) == pos, (i, int(res.pos[i]), pos, rev)
         assert bool(res.is_rev[i]) == rev
         assert int(res.score[i]) > 40
+
+
+def test_align_step_smem_maps_reads(device_genome):
+    """Real-SMEM device step: mapped positions must match the planted truth."""
+    import jax.numpy as jnp
+    from lariat_tpu.parallel.align_step import align_step_smem
+    g, genome = device_genome
+    codes = fmindex.NT4_TABLE[np.frombuffer(genome, dtype=np.uint8)]
+    rng = np.random.default_rng(17)
+    B, L = 32, 100
+    reads = np.zeros((B, L), np.uint8)
+    truth = np.zeros(B, np.int64)
+    rev = np.zeros(B, bool)
+    for i in range(B):
+        pos = int(rng.integers(0, len(codes) - L))
+        seg = codes[pos:pos + L].copy()
+        if i % 3 == 0:
+            seg = (3 - seg)[::-1]
+            rev[i] = True
+        p = int(rng.integers(0, L))
+        seg[p] = (seg[p] + 1) % 4
+        reads[i] = seg
+        truth[i] = pos
+    mat = np.asarray(ksw.fill_score_matrix(1, 4))
+    res = align_step_smem(g, jnp.asarray(reads),
+                          jnp.asarray(np.full(B, L, np.int32)),
+                          jnp.asarray(mat))
+    mapped = np.asarray(res.mapped)
+    pos = np.asarray(res.pos)
+    isrev = np.asarray(res.is_rev)
+    assert mapped.sum() >= B - 2
+    ok = 0
+    for i in range(B):
+        if mapped[i] and abs(int(pos[i]) - truth[i]) <= 2 \
+                and bool(isrev[i]) == bool(rev[i]):
+            ok += 1
+    assert ok >= mapped.sum() - 2, (pos[:8], truth[:8])
