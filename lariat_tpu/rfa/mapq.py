@@ -235,10 +235,13 @@ def estimate_map_qualities(alignments: List[List[Alignment]],
         scores: List[float] = []
         append_pseudocount_score(scores, arr, alignments, log_molecule_penalty,
                                  improper_pair_penalty)
-        # re-link mate_alignment pointers between active pairs
+        # re-link mate_alignment pointers between active pairs (hoisted
+        # active check: assignment order among qualifying pairs unchanged)
         for aln in arr:
+            if not aln.active:
+                continue
             for mate in alignments[aln.mate_id]:
-                if aln.active and mate.active:
+                if mate.active:
                     aln.mate_alignment = mate
                     mate.mate_alignment = aln
         # best pair score per alignment + the second-best (non-active) pair
