@@ -186,7 +186,16 @@ def run(argv=None):
                 cpu_pinned = bool(plat) and set(plat.split(",")) <= {"cpu"}
                 if args.use_device == "auto" and cpu_pinned:
                     raise RuntimeError("jax pinned to cpu")
-                if args.use_device == "on" or jax.default_backend() != "cpu":
+                if cpu_pinned:
+                    # explicit -use_device on with a cpu pin (tests): build
+                    # the cpu engine without probing the default backend
+                    # (the tunnel plugin hangs when its terminal is away)
+                    from .align.batch_engine import BatchAlignmentEngine
+                    device_engine = BatchAlignmentEngine(fm,
+                                                         use_pallas=False)
+                    print("device priming on cpu (pinned)")
+                elif args.use_device == "on" \
+                        or jax.default_backend() != "cpu":
                     from .align.batch_engine import BatchAlignmentEngine
                     device_engine = BatchAlignmentEngine(fm)
                     print(f"device priming on {jax.devices()[0]}")

@@ -53,7 +53,6 @@ def min_starts_kernel(fmd: DeviceFMIndex, reads: jnp.ndarray,
     when q[e-1] is N / e out of range (lane contributes nothing).
     """
     dt = fmd.idx_dtype
-    N = read_idx.shape[0]
     flat = reads.reshape(-1)
     e = e.astype(jnp.int32)
     min_intv = jnp.maximum(min_intv.astype(dt), 1)

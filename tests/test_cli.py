@@ -212,3 +212,56 @@ def test_cli_native_vs_python_stacks_identical(tmp_path):
         else:
             assert sorted(cur) == sorted(snap)
             assert not [k for k in cur if cur[k] != snap[k]]
+
+
+def test_cli_device_primed_matches_host(tmp_path):
+    """-use_device on (CPU backend: same priming code path — threads,
+    groups, shipped sras) must produce byte-identical BAMs to the host
+    path."""
+    import glob
+    import gzip
+    import subprocess
+    import sys as _sys
+    rng = np.random.default_rng(9)
+    genome = BASES[rng.integers(0, 4, 60000)].tobytes()
+    fasta = tmp_path / "g.fa"
+    with open(fasta, "w") as f:
+        f.write(">chr1\n")
+        s = genome.decode()
+        for i in range(0, len(s), 70):
+            f.write(s[i:i + 70] + "\n")
+    fq = tmp_path / "r.fastq.gz"
+    qual = "I" * 100
+    with gzip.open(fq, "wt") as f:
+        for b in range(5):
+            bc = f"AAACAGAGAAAG{'ACGT'[b % 4]}{'ACGT'[b // 4]}-1"
+            for i in range(7):
+                pos = 1500 + b * 9000 + i * 310
+                r1 = genome[pos:pos + 100].decode()
+                r2 = genome[pos + 200:pos + 300].translate(COMP)[::-1].decode()
+                f.write(f"@p{b}:r{i} x\n{r1}\n{qual}\n{r2}\n{qual}\n"
+                        f"{bc},{bc.split('-')[0]}\nJJJJJJJJJJJJJJ\n"
+                        f"ACGTACGT\nIIIIIIII\n")
+    outs = {}
+    for mode in ("off", "on"):
+        out = tmp_path / f"out_{mode}"
+        r = subprocess.run(
+            [_sys.executable, "-m", "lariat_tpu.cli", "-reads", str(fq),
+             "-genome", str(fasta), "-output", str(out), "-threads", "2",
+             "-use_device", mode, "-first_chunk"],
+            capture_output=True, text=True, cwd="/root/repo",
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "LARIAT_PRIME_THREADS": "2"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[mode] = {p.split("/")[-1]: open(p, "rb").read()
+                      for p in glob.glob(str(out / "*.bam"))}
+    assert sorted(outs["on"]) == sorted(outs["off"])
+    # @PG CL embeds -output and -use_device: compare past the header block
+    for k in outs["off"]:
+        a, b = outs["off"][k], outs["on"][k]
+        # BGZF blocks differ only if contents differ; headers contain the
+        # CL line, so compare decompressed bodies
+        from lariat_tpu.io.bamread import BamFile
+        ra = list(BamFile(str(tmp_path / "out_off" / k)))
+        rb = list(BamFile(str(tmp_path / "out_on" / k)))
+        assert ra == rb, k
