@@ -148,6 +148,7 @@ class RFATensors:
             return np.zeros(nK), np.zeros(nK, np.int64)
         pA = _pow2(nA)
         pK = _pow2(nK)
+        pR = _pow2(self.R, floor=64)   # pad reads too: jit keys on shapes
         rr = np.zeros(pA, np.int64)
         mr = np.zeros(pA, np.int64)
         slap = np.zeros(pA, np.float64)
@@ -162,12 +163,12 @@ class RFATensors:
             hasm[i] = sm is not None
             shmp[i] = sm is not None and is_pair(a, sm)
             avalid[i] = True
-        EXK = np.zeros((pK, self.R), bool)
-        LAPK = np.zeros((pK, self.R), np.float64)
-        PBK = np.zeros((pK, self.R), bool)
-        EXK[:nK] = self.EX[K]
-        LAPK[:nK] = self.LAP[K]
-        PBK[:nK] = self.PB[K]
+        EXK = np.zeros((pK, pR), bool)
+        LAPK = np.zeros((pK, pR), np.float64)
+        PBK = np.zeros((pK, pR), bool)
+        EXK[:nK, :self.R] = self.EX[K]
+        LAPK[:nK, :self.R] = self.LAP[K]
+        PBK[:nK, :self.R] = self.PB[K]
         ac, num = _row_kernel_jnp(
             jnp.asarray(EXK), jnp.asarray(LAPK), jnp.asarray(PBK),
             jnp.asarray(rr), jnp.asarray(mr), jnp.asarray(slap),
