@@ -194,11 +194,36 @@ def run(argv=None):
                     device_engine = BatchAlignmentEngine(fm,
                                                          use_pallas=False)
                     print("device priming on cpu (pinned)")
-                elif args.use_device == "on" \
-                        or jax.default_backend() != "cpu":
-                    from .align.batch_engine import BatchAlignmentEngine
-                    device_engine = BatchAlignmentEngine(fm)
-                    print(f"device priming on {jax.devices()[0]}")
+                else:
+                    # backend init over a remote tunnel can block
+                    # INDEFINITELY when the terminal is unreachable; probe
+                    # on a daemon thread with a hard timeout so a broken
+                    # tunnel degrades (auto) or fails fast (on) instead of
+                    # hanging the whole run
+                    import threading
+                    box = {}
+
+                    def _probe():
+                        try:
+                            box["backend"] = jax.default_backend()
+                        except Exception as e:  # noqa: BLE001
+                            box["err"] = e
+                    th = threading.Thread(target=_probe, daemon=True)
+                    th.start()
+                    th.join(timeout=float(os.environ.get(
+                        "LARIAT_DEVICE_PROBE_TIMEOUT", "180")))
+                    if th.is_alive():
+                        global _SKIP_TEARDOWN
+                        _SKIP_TEARDOWN = True
+                        raise RuntimeError(
+                            "device backend init timed out "
+                            "(tunnel unreachable)")
+                    if "err" in box:
+                        raise box["err"]
+                    if args.use_device == "on" or box["backend"] != "cpu":
+                        from .align.batch_engine import BatchAlignmentEngine
+                        device_engine = BatchAlignmentEngine(fm)
+                        print(f"device priming on {jax.devices()[0]}")
             except Exception as e:  # no usable device: run host-only workers
                 if args.use_device == "on":
                     raise
