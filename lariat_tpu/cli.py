@@ -114,6 +114,7 @@ def main(argv=None) -> int:
 def run(argv=None):
     """Full pipeline; returns (exit_code, RFAStats) so multi-host drivers can
     psum the stats across processes (parallel/multihost.py)."""
+    global _SKIP_TEARDOWN
     args = build_parser().parse_args(argv)
     if args.debugPrintMove or args.debug:
         # set before workers fork so every process inherits the switches
@@ -213,7 +214,6 @@ def run(argv=None):
                     th.join(timeout=float(os.environ.get(
                         "LARIAT_DEVICE_PROBE_TIMEOUT", "180")))
                     if th.is_alive():
-                        global _SKIP_TEARDOWN
                         _SKIP_TEARDOWN = True
                         raise RuntimeError(
                             "device backend init timed out "
@@ -288,7 +288,6 @@ def run(argv=None):
             if w is not None:
                 w.join(timeout=2.0)
                 if w.is_alive():
-                    global _SKIP_TEARDOWN
                     _SKIP_TEARDOWN = True
     else:
         profiler = None
