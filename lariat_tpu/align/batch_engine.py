@@ -44,8 +44,19 @@ def _start_transfer_warmup():
     """First device->host transfer in a process can stall for minutes while
     the remote-TPU tunnel (re)establishes its result channel; pay that cost
     on a background thread at engine construction so the first real wave
-    doesn't. Returns the started thread (None when there is no device)."""
+    doesn't. Returns the started thread (None when there is no device).
+
+    A cpu-pinned environment skips the thread entirely: probing the
+    default backend would make the tunnel plugin (which ignores the env
+    pin) build its client — and hang forever when the terminal is away,
+    leaving ``_warmup`` alive and silently routing every group down the
+    host path."""
+    import os
     import threading
+
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and set(plat.split(",")) <= {"cpu"}:
+        return None
 
     def _roundtrip():
         try:

@@ -189,8 +189,14 @@ def run(argv=None):
                     raise RuntimeError("jax pinned to cpu")
                 if cpu_pinned:
                     # explicit -use_device on with a cpu pin (tests): build
-                    # the cpu engine without probing the default backend
-                    # (the tunnel plugin hangs when its terminal is away)
+                    # the cpu engine without probing the default backend.
+                    # The tunnel plugin ignores the ENV pin but honors the
+                    # jax.config one — set it so lazy jnp constants in the
+                    # kernel modules can't initialize the tunnel client
+                    try:
+                        jax.config.update("jax_platforms", "cpu")
+                    except RuntimeError:
+                        pass
                     from .align.batch_engine import BatchAlignmentEngine
                     device_engine = BatchAlignmentEngine(fm,
                                                          use_pallas=False)
@@ -244,6 +250,11 @@ def run(argv=None):
                                                 "2")))
             ex = ThreadPoolExecutor(max_workers=n_prime,
                                     thread_name_prefix="lariat-prime")
+            if os.environ.get("LARIAT_PRIME_WAIT"):
+                # block for the transfer warmup instead of feeding workers
+                # through the host path meanwhile (tests / short runs that
+                # must exercise the primed path end to end)
+                device_engine.wait_warmup()
             futs = deque()
             try:
                 buf = []
