@@ -45,6 +45,27 @@ def _time_fn(fn, iters=5):
 
 def main() -> None:
     sys.path.insert(0, "/root/repo")
+    import os
+    import threading
+    # backend init can hang indefinitely when the TPU tunnel terminal is
+    # unreachable; probe with a bounded daemon thread and fail fast
+    box = {}
+
+    def _probe():
+        try:
+            import jax as _jax
+            box["ok"] = str(_jax.devices()[0])
+        except Exception as e:  # noqa: BLE001
+            box["err"] = str(e)[:200]
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("LARIAT_DEVICE_PROBE_TIMEOUT",
+                                         "150")))
+    if th.is_alive() or "err" in box:
+        print(json.dumps({"error": box.get(
+            "err", "device backend init timed out (tunnel unreachable)")}))
+        os._exit(1)
     import jax
 
     from lariat_tpu.align import ksw
