@@ -105,6 +105,29 @@ def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
     return out
 
 
+def _device_available(timeout_s: float = 150.0) -> bool:
+    """One bounded probe: can the (possibly remote-tunnel) device backend
+    initialize at all? Avoids paying a probe timeout per device run when
+    the tunnel terminal is unreachable."""
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import lariat_tpu, jax\n"
+        "print('BACKEND', jax.default_backend())\n" % REPO)
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           env={**os.environ, "PYTHONPATH": REPO + (
+                                ":" + os.environ["PYTHONPATH"]
+                                if os.environ.get("PYTHONPATH") else "")},
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        for line in p.stdout.splitlines():
+            if line.startswith("BACKEND"):
+                return line.split()[1] != "cpu"
+    except subprocess.TimeoutExpired:
+        pass
+    return False
+
+
 def _median_of(runs: list) -> dict:
     """Median-by-pairs_s run dict (VERDICT r2 item 7: median of >=3 warm
     runs is the reported number; the run list stays in detail)."""
@@ -118,7 +141,7 @@ def _median_of(runs: list) -> dict:
 HG38_DIR = os.path.join(REPO, "data_big")
 
 
-def _hg38_runs(workdir: str) -> dict:
+def _hg38_runs(workdir: str, have_device: bool) -> dict:
     """Full-genome (3.09 Gbp simulated hg38) CLI runs, host vs device.
 
     This is BASELINE.md's own regime ("read pairs aligned/sec/chip, hg38,
@@ -135,7 +158,8 @@ def _hg38_runs(workdir: str) -> dict:
         return {}
     out = {}
     extra = ("-centromeres", cents) if os.path.exists(cents) else ()
-    for mode in ("off", "on"):
+    out["device_available"] = have_device
+    for mode in (("off", "on") if have_device else ("off",)):
         runs = []
         for i in range(4):   # run 0 = warmup, 1..3 measured
             r = _run_cli(fa, reads, os.path.join(
@@ -144,13 +168,14 @@ def _hg38_runs(workdir: str) -> dict:
         key = "hg38_host_5w" if mode == "off" else "hg38_device_5w"
         out[key] = _median_of(runs[1:])
         out[key + "_runs"] = [r.get("pairs_s", 0.0) for r in runs]
-    # BASELINE config 2 analog: chr20-scale genome, 1M pairs, one run with
-    # the device-primed mode (too long to triplicate; tracked as a number)
+    # BASELINE config 2 analog: chr20-scale genome, 1M pairs, one run
+    # (device-primed when available; too long to triplicate)
     c20 = os.path.join(HG38_DIR, "chr20sim.fa")
     c20_reads = os.path.join(HG38_DIR, "sim1m_chr20.fastq.gz")
     if os.path.isdir(c20 + ".lariat.d") and os.path.exists(c20_reads):
-        out["chr20_1m_device"] = _run_cli(
-            c20, c20_reads, os.path.join(workdir, "chr20"), "on")
+        out["chr20_1m"] = _run_cli(
+            c20, c20_reads, os.path.join(workdir, "chr20"),
+            "on" if have_device else "off")
     return out
 
 
@@ -209,8 +234,10 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="lariat_bench_")
     fa, reads, t_index = _prepare_inputs(workdir)
 
+    have_device = _device_available()
     host = _run_cli(fa, reads, os.path.join(workdir, "out_host"), "off")
-    dev = _run_cli(fa, reads, os.path.join(workdir, "out_dev"), "on")
+    dev = (_run_cli(fa, reads, os.path.join(workdir, "out_dev"), "on")
+           if have_device else {"error": "device unavailable"})
 
     candidates = {"cli_host_native_5w": host, "cli_device_primed_5w": dev}
     best_name, best = max(
@@ -224,11 +251,13 @@ def main() -> None:
         "index_build_s": round(t_index, 1),
         **{k: v for k, v in candidates.items()},
     }
-    hg38 = _hg38_runs(workdir)
+    hg38 = _hg38_runs(workdir, have_device)
     detail.update(hg38)
     # per-kernel %SOL roofline (separate process: one tunnel client at a
     # time, and it must not share this process's jax state)
     try:
+        if not have_device:
+            raise RuntimeError("device unavailable")
         roof = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools/kernel_roofline.py")],
             env={**os.environ, "PYTHONPATH": REPO + (
@@ -239,6 +268,8 @@ def main() -> None:
     except Exception as e:
         detail["roofline_error"] = str(e)[:200]
     try:
+        if not have_device:
+            raise RuntimeError("device unavailable")
         detail.update(_device_step_detail(fa))
     except Exception as e:  # device detail must never sink the primary metric
         detail["device_step_error"] = str(e)[:200]
