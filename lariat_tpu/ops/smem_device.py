@@ -257,48 +257,40 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
         lane_read = []
         lane_e = []
         lane_m = []
-        lane_req = []
-        for ri, (i, mid, m) in enumerate(reseeds):
+        req_off = []           # [start, end) lane range per reseed request
+        for (i, mid, m) in reseeds:
+            start = len(lane_read)
             for e in range(mid + 1, int(lens[i]) + 1):
                 lane_read.append(i)
                 lane_e.append(e)
                 lane_m.append(m)
-                lane_req.append(ri)
+            req_off.append((start, len(lane_read)))
         if lane_read:
             b2, x02, x12, s2, valid2 = min_starts_kernel(
                 fmd, rd, jnp.asarray(np.array(lane_read, np.int32)),
                 jnp.asarray(np.array(lane_e, np.int32)),
                 jnp.asarray(np.array(lane_m, np.int64)), L)
-            b2 = np.asarray(b2)
-            x02 = np.asarray(x02)
-            x12 = np.asarray(x12)
-            s2 = np.asarray(s2)
-            valid2 = np.asarray(valid2)
-            # group lanes per request (lanes are emitted e-ascending)
-            lane_req = np.array(lane_req, np.int64)
-            for ri, (i, mid, m) in enumerate(reseeds):
-                sel = np.nonzero(lane_req == ri)[0]
-                if not len(sel):
-                    continue
-                es = np.array(lane_e, np.int64)[sel]
-                bb = b2[sel]
-                vv = valid2[sel]
-                # right-maximality within this constrained family +
-                # covering-mid filter (smem1a(x=mid, min_intv=m))
-                for j in range(len(sel)):
-                    if not vv[j]:
+            b2 = np.asarray(b2).tolist()
+            x02 = np.asarray(x02).tolist()
+            x12 = np.asarray(x12).tolist()
+            s2 = np.asarray(s2).tolist()
+            valid2 = np.asarray(valid2).tolist()
+            # lanes per request are consecutive and e-ascending
+            for (i, mid, m), (lo, hi) in zip(reseeds, req_off):
+                for j in range(lo, hi):
+                    if not valid2[j]:
                         continue
-                    e = int(es[j])
-                    be = int(bb[j])
+                    e = lane_e[j]
+                    be = b2[j]
                     if be > mid:
                         continue
-                    if j + 1 < len(sel) and vv[j + 1] \
-                            and es[j + 1] == e + 1 and int(bb[j + 1]) <= be:
+                    # right-maximality within this constrained family +
+                    # covering-mid filter (smem1a(x=mid, min_intv=m))
+                    if j + 1 < hi and valid2[j + 1] and b2[j + 1] <= be:
                         continue
                     if e - be < min_seed:
                         continue
-                    per_read[i].append((int(x02[sel[j]]), int(x12[sel[j]]),
-                                        int(s2[sel[j]]), be, e))
+                    per_read[i].append((x02[j], x12[j], s2[j], be, e))
 
     # ---- round 3: forward-greedy walker ----------------------------------
     if opt.max_mem_intv > 0:
