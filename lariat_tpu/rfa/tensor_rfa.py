@@ -113,7 +113,13 @@ class RFATensors:
             else:
                 ac = np.where(mask & sink_hmp, ac - half, ac)
             num = num + mask
-        n_src_act = len(act)
+        return self._finish_row(source, K, ac, num)
+
+    def _finish_row(self, source, K, ac, num):
+        """Molecule birth/death + empty/fill terms, replaying the scalar
+        change-accumulation order, then + alignment_change."""
+        nK = len(K)
+        n_src_act = len(source.active_alignments)
         n_src_best = len(source.best_alignment_for_read)
         change = np.zeros(nK)
         # source death (scalar order: change -= len(src.best) * -0.5)
@@ -176,25 +182,8 @@ class RFATensors:
             float(lup))
         ac = np.asarray(ac)[:nK]
         num = np.asarray(num)[:nK].astype(np.int64)
-        # scalar birth/death terms (host, same as numpy path)
-        n_src_act = len(act)
-        n_src_best = len(source.best_alignment_for_read)
-        change = np.zeros(nK)
-        if _is_active(n_src_act, 0, n_src_best):
-            saa = _is_active_vec(np.full(nK, n_src_act), -num, n_src_best)
-            change = np.where(~saa, change - (n_src_best * -0.5), change)
-        cK = np.array([len(self.molecules[k].active_alignments) for k in K],
-                      np.int64)
-        sbb = _is_active_vec(cK, 0, self.LENBEST[K])
-        sba = _is_active_vec(cK, num, self.LENBEST[K])
-        change = np.where(sba & ~sbb,
-                          change + (self.LENBEST[K] * -0.5), change)
-        emptied = (n_src_act - num == 0) & (num > 0)
-        change = np.where(emptied, change - (-3.0), change)
-        filled = (cK == 0) & (num > 0)
-        change = np.where(filled, change + (-3.0), change)
-        change = change + ac
-        return change, num
+        # birth/death terms on host, shared with the numpy path
+        return self._finish_row(source, K, ac, num)
 
 
 def _pow2(n: int, floor: int = 8) -> int:
