@@ -201,16 +201,25 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
     Returns per-read seed tuple lists (x0, x1, s, qb, qe) matching
     native seed.cpp fm_collect_seeds_batch output order bit-for-bit.
     """
-    R = len(reads)
-    if R == 0:
+    n_reads = len(reads)
+    if n_reads == 0:
         return []
+    R = n_reads
     L = max((len(r) for r in reads), default=1)
     L = max(L, 2)
-    rmat = np.full((R, L), 4, np.uint8)
-    lens = np.zeros(R, np.int32)
+    # pad shapes to a small fixed set: every distinct (R, L) retraces the
+    # lane kernels, and group sizes vary run to run. Padded reads are all-N
+    # (every lane invalid -> no seeds), padded lens 0.
+    L = -(-L // 64) * 64
+    Rp = 128
+    while Rp < R:
+        Rp <<= 1
+    rmat = np.full((Rp, L), 4, np.uint8)
+    lens = np.zeros(Rp, np.int32)
     for i, r in enumerate(reads):
         rmat[i, :len(r)] = r
         lens[i] = len(r)
+    R = Rp
     rd = jnp.asarray(rmat)
 
     # ---- round 1: all (read, e) lanes ------------------------------------
@@ -312,9 +321,9 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
                                         int(qe3[i, k])))
 
     # ---- final stable (qb, qe) sort (collect_intv) -----------------------
-    for i in range(R):
+    for i in range(n_reads):
         per_read[i] = sorted(per_read[i], key=lambda t: (t[3], t[4]))
-    return per_read
+    return per_read[:n_reads]
 
 
 def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
@@ -345,8 +354,13 @@ def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
                 cnt += 1
         counts.append(len(rows) - c0)
     if rows:
-        rarr = np.array(rows, np.int64)
-        out = np.asarray(sa_dev(dg, jnp.asarray(rarr)))
+        # pad the SA-walk batch to pow2 (row 0 is always a valid cheap walk)
+        npad = 128
+        while npad < len(rows):
+            npad <<= 1
+        rarr = np.zeros(npad, np.int64)
+        rarr[:len(rows)] = rows
+        out = np.asarray(sa_dev(dg, jnp.asarray(rarr)))[:len(rows)]
     else:
         out = np.zeros(0, np.int64)
     rbegs = []
