@@ -187,6 +187,143 @@ int32_t ksw_global_one(const uint8_t* query, int qlen, const uint8_t* target,
 }
 
 #ifdef __SSE2__
+// Striped (Farrar) local SW, 16x uint8 lanes. Bit-exact vs the scalar core
+// under the same two exactness fixes as the int16 kernel below (E re-opened
+// from F-raised H in the lazy-F fixup; padded lanes masked out of row
+// maxima). Works in the unsigned domain: H/E/F are stored as their true
+// values (local SW floors at 0, so no bias on state), only the substitution
+// profile carries bias B = -min(sub); `subs_epu8` supplies every max(.,0).
+// Pad lanes occupy the highest stripe lanes (largest j), so their F can
+// only shift further up and never reaches a real lane — the fixup break
+// test is therefore masked to real lanes, which is exact and avoids
+// pad-driven extra fixup sweeps. Returns false when the uint8 range is
+// unsafe (any reachable H + match + B could touch 255).
+static bool local_core_sse_u8(const uint8_t* query, int qlen,
+                              const uint8_t* target, int tlen, int o_del,
+                              int e_del, int o_ins, int e_ins, int minsc,
+                              int endsc, int match_sc, int mismatch_sc,
+                              int n_sc, int32_t* out) {
+  const int B = std::max(0, -std::min(mismatch_sc, n_sc));
+  if (qlen < 2 || match_sc <= 0) return false;
+  if ((int64_t)qlen * match_sc + match_sc + B > 254) return false;
+  if (o_del + e_del > 254 || o_ins + e_ins > 254 || B + match_sc > 254)
+    return false;
+  const int nseg = (qlen + 15) / 16;
+  std::vector<__m128i> prof(5 * nseg), E(nseg), H0(nseg), H1(nseg),
+      mask(nseg), best(nseg);
+  for (int t = 0; t < 5; ++t) {
+    uint8_t* p = (uint8_t*)&prof[t * nseg];
+    for (int s = 0; s < nseg; ++s)
+      for (int l = 0; l < 16; ++l) {
+        int j = s + l * nseg;
+        p[s * 16 + l] = j < qlen
+            ? (uint8_t)(score_sub(query[j], t, match_sc, mismatch_sc, n_sc)
+                        + B)
+            : 0;
+      }
+  }
+  for (int s = 0; s < nseg; ++s) {
+    uint8_t* m = (uint8_t*)&mask[s];
+    for (int l = 0; l < 16; ++l)
+      m[l] = (s + l * nseg) < qlen ? 0xFF : 0;
+    E[s] = _mm_setzero_si128();
+    H0[s] = _mm_setzero_si128();
+  }
+  const __m128i zero = _mm_setzero_si128();
+  const __m128i vbias = _mm_set1_epi8((char)B);
+  const __m128i voe_del = _mm_set1_epi8((char)(o_del + e_del));
+  const __m128i ve_del = _mm_set1_epi8((char)e_del);
+  const __m128i voe_ins = _mm_set1_epi8((char)(o_ins + e_ins));
+  const __m128i ve_ins = _mm_set1_epi8((char)e_ins);
+  int32_t gmax = 0, te = -1;
+  bool have_best = false;
+  std::vector<std::pair<int32_t, int32_t>> col_bests;
+  for (int i = 0; i < tlen; ++i) {
+    const __m128i* P = &prof[(size_t)target[i] * nseg];
+    __m128i vF = zero;
+    __m128i vH = _mm_slli_si128(H0[nseg - 1], 1);  // diag, 0 at lane 0
+    __m128i vmax = zero;
+    for (int s = 0; s < nseg; ++s) {
+      // max(diag + sub, 0) via saturating add of biased profile then
+      // saturating un-bias; exact because diag+sub+B <= 254 by the guard.
+      __m128i h = _mm_subs_epu8(_mm_adds_epu8(vH, P[s]), vbias);
+      h = _mm_max_epu8(h, E[s]);
+      h = _mm_max_epu8(h, vF);
+      vmax = _mm_max_epu8(vmax, _mm_and_si128(h, mask[s]));
+      H1[s] = h;
+      E[s] = _mm_max_epu8(_mm_subs_epu8(E[s], ve_del),
+                          _mm_subs_epu8(h, voe_del));
+      vF = _mm_max_epu8(_mm_subs_epu8(vF, ve_ins),
+                        _mm_subs_epu8(h, voe_ins));
+      vH = H0[s];
+    }
+    // lazy-F fixup across the lane wrap (exact: E re-opened from raised H)
+    vF = _mm_slli_si128(vF, 1);
+    for (int k = 0; k < 16; ++k) {
+      int s = 0;
+      for (; s < nseg; ++s) {
+        __m128i h = _mm_max_epu8(H1[s], vF);
+        H1[s] = h;
+        vmax = _mm_max_epu8(vmax, _mm_and_si128(h, mask[s]));
+        E[s] = _mm_max_epu8(E[s], _mm_subs_epu8(h, voe_del));
+        __m128i thr = _mm_subs_epu8(h, voe_ins);
+        vF = _mm_subs_epu8(vF, ve_ins);
+        // continue only while vF > thr in some REAL lane (pad F never
+        // reaches a real lane; see header comment)
+        __m128i adv = _mm_and_si128(_mm_subs_epu8(vF, thr), mask[s]);
+        if (_mm_movemask_epi8(_mm_cmpeq_epi8(adv, zero)) == 0xFFFF) {
+          s = -1;
+          break;
+        }
+      }
+      if (s == -1) break;
+      vF = _mm_slli_si128(vF, 1);
+    }
+    // horizontal max of vmax (uint8)
+    __m128i t1 = _mm_max_epu8(vmax, _mm_srli_si128(vmax, 8));
+    t1 = _mm_max_epu8(t1, _mm_srli_si128(t1, 4));
+    t1 = _mm_max_epu8(t1, _mm_srli_si128(t1, 2));
+    t1 = _mm_max_epu8(t1, _mm_srli_si128(t1, 1));
+    int32_t col_max = _mm_extract_epi16(t1, 0) & 0xFF;
+    std::swap(H0, H1);
+    if (col_max >= minsc) {
+      if (col_bests.empty() || col_bests.back().second + 1 != i)
+        col_bests.push_back({col_max, i});
+      else if (col_bests.back().first < col_max)
+        col_bests.back() = {col_max, i};
+    }
+    if (col_max > gmax) {
+      gmax = col_max;
+      te = i;
+      best = H0;
+      have_best = true;
+      if (gmax >= endsc) break;
+    }
+  }
+  if (te < 0 || !have_best) {
+    out[0] = 0; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
+    return true;
+  }
+  // unstripe the saved best row; qe = FIRST position achieving the max
+  int32_t qe = 0, qbest = -1;
+  for (int j = 0; j < qlen; ++j) {
+    int s = j % nseg, l = j / nseg;
+    int32_t v = ((const uint8_t*)&best[s])[l];
+    if (v > qbest) { qbest = v; qe = j; }
+  }
+  int32_t score2 = -1, te2 = -1;
+  int radius = (gmax + match_sc - 1) / match_sc;
+  for (auto& cb : col_bests) {
+    if ((cb.second < te - radius || cb.second > te + radius)
+        && cb.first > score2) {
+      score2 = cb.first;
+      te2 = cb.second;
+    }
+  }
+  out[0] = gmax; out[1] = te; out[2] = qe; out[3] = score2; out[4] = te2;
+  return true;
+}
+
 // Striped (Farrar) local SW, 8x int16 lanes. Bit-exact vs the scalar core:
 // the lazy-F fixup also re-opens E from F-raised H cells (plain Farrar/ksw
 // omit that and underestimate I->D transitions), and padded lanes are
@@ -314,6 +451,10 @@ static void local_core(const uint8_t* query, int qlen, const uint8_t* target,
                        int minsc, int endsc, int match_sc, int mismatch_sc,
                        int n_sc, int32_t* out) {
 #ifdef __SSE2__
+  if (local_core_sse_u8(query, qlen, target, tlen, o_del, e_del, o_ins,
+                        e_ins, minsc, endsc, match_sc, mismatch_sc, n_sc,
+                        out))
+    return;
   if (local_core_sse(query, qlen, target, tlen, o_del, e_del, o_ins, e_ins,
                      minsc, endsc, match_sc, mismatch_sc, n_sc, out))
     return;

@@ -229,3 +229,42 @@ def test_global_long_insertion_traceback():
             s -= O_DEL + E_DEL * l
             y += l
     assert s == score
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_local_native_u8_vs_python(seed):
+    """Native striped local SW (uint8 16-lane path for match=1 scoring,
+    int16 8-lane for match=2) must match the pure-Python scalar core on
+    every output field, including score2/te2 column bookkeeping and the
+    first-max qe tie rule. Covers native/ksw.cpp local_core_sse_u8."""
+    import dataclasses
+
+    native = ksw._get_native()
+    if native is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(seed + 900)
+    mat2 = ksw.fill_score_matrix(2, 3)
+    for it in range(40):
+        qlen = int(rng.integers(2, 180))
+        glen = int(rng.integers(qlen, 620))
+        refseq = rng.integers(0, 5, glen + 210).astype(np.int64)
+        off = int(rng.integers(0, max(1, glen - qlen)))
+        q = _mutate(rng, refseq[off:off + qlen].copy(),
+                    int(rng.integers(0, 6)), int(rng.integers(0, 3)))
+        t = refseq[:glen]
+        mat = MAT if it % 2 else mat2
+        minsc = int(rng.choice([1, 19, 40]))
+        score, te, qe, score2, te2 = ksw._local_core(
+            q, t, mat, O_DEL, E_DEL, O_INS, E_INS, minsc, 1 << 30)
+        if te < 0 or score < minsc:
+            ref_res = ksw.LocalResult(score, -1, -1, -1, -1, score2, te2)
+        else:
+            rq = q[:qe + 1][::-1].copy()
+            rt = t[:te + 1][::-1].copy()
+            _, te_r, qe_r, _, _ = ksw._local_core(
+                rq, rt, mat, O_DEL, E_DEL, O_INS, E_INS, 1 << 30, score)
+            ref_res = ksw.LocalResult(score, qe - qe_r, qe, te - te_r, te,
+                                      score2, te2)
+        nat_res = ksw.local_align_batch_native(
+            [(q, t)], mat, O_DEL, E_DEL, O_INS, E_INS, minsc)[0]
+        assert dataclasses.astuple(ref_res) == dataclasses.astuple(nat_res)
