@@ -8,7 +8,9 @@
 // Multithreaded across reads.
 
 #include <algorithm>
+#include <coroutine>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -42,12 +44,19 @@ inline int64_t occ_one(const FMView& fm, int64_t k, int c) {
   int rem = static_cast<int>(pos % OCC_INTERVAL);
   int64_t cnt = fm.occ_ckpt[blk * 4 + c];
   const uint32_t* w = fm.bwt_words + blk * WORDS_PER_BLOCK;
-  uint32_t pat = 0x55555555u * static_cast<uint32_t>(c);
+  const uint64_t pat64 = 0x5555555555555555ull * static_cast<uint64_t>(c);
   int full = rem / 16;
-  for (int i = 0; i < full; ++i) {
+  int i = 0;
+  for (; i + 2 <= full; i += 2) {
+    uint64_t x;
+    std::memcpy(&x, w + i, 8);
+    uint64_t y = x ^ pat64;
+    cnt += __builtin_popcountll(~(y | (y >> 1)) & 0x5555555555555555ull);
+  }
+  uint32_t pat = 0x55555555u * static_cast<uint32_t>(c);
+  if (i < full) {
     uint32_t y = w[i] ^ pat;
-    uint32_t m = ~(y | (y >> 1)) & 0x55555555u;
-    cnt += __builtin_popcount(m);
+    cnt += __builtin_popcount(~(y | (y >> 1)) & 0x55555555u);
   }
   int tail = rem % 16;
   if (tail) {
@@ -74,23 +83,50 @@ inline void occ_four(const FMView& fm, int64_t k, int64_t out[4]) {
   int rem = static_cast<int>(pos % OCC_INTERVAL);
   const uint32_t* w = fm.bwt_words + blk * WORDS_PER_BLOCK;
   for (int c = 0; c < 4; ++c) out[c] = fm.occ_ckpt[blk * 4 + c];
+  // Bit-plane counting: a = low bits, b = high bits of each 2-bit code, so
+  // code 3 = a&b, code 2 = b&~a, code 1 = a&~b; code 0 falls out as
+  // rem - c1 - c2 - c3 (every base in the block is one of the four codes).
+  // 3 popcounts per u64 (32 bases) vs 4 xor/or/shift/popcount chains per
+  // u32 — the seeding hot path is compute-bound on this, not DRAM-bound.
   int full = rem / 16;
-  for (int c = 0; c < 4; ++c) {
-    uint32_t pat = 0x55555555u * static_cast<uint32_t>(c);
-    int64_t cnt = 0;
-    for (int i = 0; i < full; ++i) {
-      uint32_t y = w[i] ^ pat;
-      cnt += __builtin_popcount(~(y | (y >> 1)) & 0x55555555u);
-    }
-    int tail = rem % 16;
-    if (tail) {
-      uint32_t y = w[full] ^ pat;
-      uint32_t m = ~(y | (y >> 1)) & 0x55555555u;
-      uint32_t keep = (0xFFFFFFFFu >> (32 - 2 * tail)) << (32 - 2 * tail);
-      cnt += __builtin_popcount(m & keep);
-    }
-    out[c] += cnt;
+  int64_t c1 = 0, c2 = 0, c3 = 0;
+  int i = 0;
+  for (; i + 2 <= full; i += 2) {
+    uint64_t x;
+    std::memcpy(&x, w + i, 8);
+    uint64_t a = x & 0x5555555555555555ull;
+    uint64_t b = (x >> 1) & 0x5555555555555555ull;
+    uint64_t ab = a & b;
+    c3 += __builtin_popcountll(ab);
+    c2 += __builtin_popcountll(b ^ ab);
+    c1 += __builtin_popcountll(a ^ ab);
   }
+  if (i < full) {
+    uint32_t x = w[i];
+    uint32_t a = x & 0x55555555u;
+    uint32_t b = (x >> 1) & 0x55555555u;
+    uint32_t ab = a & b;
+    c3 += __builtin_popcount(ab);
+    c2 += __builtin_popcount(b ^ ab);
+    c1 += __builtin_popcount(a ^ ab);
+  }
+  int tail = rem % 16;
+  if (tail) {
+    // keep the first `tail` bases = the top 2*tail bits, on low-bit lanes
+    uint32_t keep = ((0xFFFFFFFFu >> (32 - 2 * tail)) << (32 - 2 * tail))
+                    & 0x55555555u;
+    uint32_t x = w[full];
+    uint32_t a = x & keep;
+    uint32_t b = (x >> 1) & keep;
+    uint32_t ab = a & b;
+    c3 += __builtin_popcount(ab);
+    c2 += __builtin_popcount(b ^ ab);
+    c1 += __builtin_popcount(a ^ ab);
+  }
+  out[0] += rem - c1 - c2 - c3;
+  out[1] += c1;
+  out[2] += c2;
+  out[3] += c3;
 }
 
 // bwt_extend: bidirectional extension producing intervals for all 4 codes.
@@ -269,6 +305,259 @@ void collect_intv(const FMView& fm, const uint8_t* q, int len,
                    });
 }
 
+// ---------------------------------------------------------------------------
+// Interleaved seeding. At genome scale every bwt_extend is 2 occ_four calls
+// = up to 4 DRAM cache-line misses, and the per-read extension chain is
+// strictly serial, so a single read walks at DRAM latency (~130 us/151bp
+// read measured at 3.1 Gbp). collect_intv_co is collect_intv rewritten as a
+// C++20 coroutine that issues prefetches for the next bwt_extend's lines and
+// suspends; a round-robin scheduler keeps W reads' chains in flight so the
+// misses overlap. The algorithm per read is UNCHANGED (same statements, same
+// order); only the cross-read interleaving differs, so output is
+// bit-identical to collect_intv (asserted by tests/test_seeding.py and the
+// smem-device parity suite). Set LARIAT_NO_INTERLEAVED_SEED=1 to force the
+// sequential walker.
+
+struct SeedTask {
+  struct promise_type {
+    SeedTask get_return_object() {
+      return SeedTask{
+          std::coroutine_handle<promise_type>::from_promise(*this)};
+    }
+    std::suspend_always initial_suspend() noexcept { return {}; }
+    std::suspend_always final_suspend() noexcept { return {}; }
+    void return_void() {}
+    void unhandled_exception() { std::terminate(); }
+  };
+  std::coroutine_handle<promise_type> h;
+};
+
+// Prefetch the occ checkpoint + bwt word lines occ_four(k) will read. Both
+// 32-byte regions are 32-byte aligned, so each stays within one cache line.
+inline void occ4_prefetch(const FMView& fm, int64_t k) {
+  if (k < 0 || k == fm.seq_len) return;
+  if (k >= fm.primary) --k;
+  int64_t blk = (k + 1) / OCC_INTERVAL;
+  __builtin_prefetch(fm.bwt_words + blk * WORDS_PER_BLOCK);
+  __builtin_prefetch(fm.occ_ckpt + blk * 4);
+}
+
+inline void extend_prefetch(const FMView& fm, const Intv& ik, bool is_back) {
+  int64_t qpos = is_back ? ik.x0 : ik.x1;
+  occ4_prefetch(fm, qpos - 1);
+  occ4_prefetch(fm, qpos - 1 + ik.s);
+}
+
+// collect_intv as a coroutine: rounds 1+2 run the inlined smem1a body via a
+// unified job loop (round 1 scans x forward; round 2 re-seeds qualifying
+// round-1 SMEMs in order, both with max_intv == 0 as in collect_intv), then
+// round 3 inlines seed_strategy1. Suspension points: one per serial forward
+// extension; one per backward row (that row's extends are independent, so
+// they are all prefetched together).
+SeedTask collect_intv_co(const FMView& fm, const uint8_t* q, int len,
+                         int min_seed_len, double split_factor,
+                         int split_width, int64_t max_mem_intv,
+                         std::vector<Intv>* mems_out, std::vector<Intv>* m1,
+                         std::vector<Intv>* prev, std::vector<Intv>* curr) {
+  std::vector<Intv>& mems = *mems_out;
+  mems.clear();
+  int split_len = static_cast<int>(min_seed_len * split_factor + 0.499);
+  int x = 0;
+  size_t r2_k = 0, old_n = 0;
+  bool round2 = false;
+  Intv ik, ok[4];
+  while (true) {
+    int start;
+    int64_t min_intv;
+    if (!round2) {
+      if (x >= len) {
+        round2 = true;
+        old_n = mems.size();
+        continue;
+      }
+      if (q[x] > 3) {
+        ++x;
+        continue;
+      }
+      start = x;
+      min_intv = 1;
+    } else {
+      while (r2_k < old_n) {
+        const Intv& p = mems[r2_k];
+        if (p.qe - p.qb >= split_len && p.s <= split_width) break;
+        ++r2_k;
+      }
+      if (r2_k >= old_n) break;
+      const Intv& p = mems[r2_k];
+      start = (p.qb + p.qe) >> 1;
+      min_intv = p.s + 1;
+      ++r2_k;
+    }
+    // --- smem1a(fm, q, len, start, min_intv, /*max_intv=*/0, ...) ---
+    m1->clear();
+    set_intv(fm, q[start], ik);
+    ik.qe = start + 1;
+    curr->clear();
+    int i;
+    for (i = start + 1; i < len; ++i) {
+      if (q[i] < 4) {
+        int c = 3 - q[i];
+        extend_prefetch(fm, ik, false);
+        co_await std::suspend_always{};
+        bwt_extend(fm, ik, ok, false);
+        if (ok[c].s != ik.s) {
+          curr->push_back(ik);
+          if (ok[c].s < min_intv) break;
+        }
+        ok[c].qe = i + 1;
+        ik = ok[c];
+      } else {
+        curr->push_back(ik);
+        break;
+      }
+    }
+    if (i == len) curr->push_back(ik);
+    std::reverse(curr->begin(), curr->end());
+    int ret = (*curr)[0].qe;
+    std::swap(*prev, *curr);
+    for (i = start - 1; i >= -1; --i) {
+      int c = (i < 0 || q[i] > 3) ? -1 : q[i];
+      curr->clear();
+      if (c >= 0 && !prev->empty()) {
+        for (const Intv& p : *prev) extend_prefetch(fm, p, true);
+        co_await std::suspend_always{};
+      }
+      for (size_t j = 0; j < prev->size(); ++j) {
+        const Intv& p = (*prev)[j];
+        bool did_ext = false;
+        if (c >= 0) {  // max_intv == 0: p.s >= max_intv always holds
+          bwt_extend(fm, p, ok, true);
+          did_ext = true;
+        }
+        if (c < 0 || (did_ext && ok[c].s < min_intv)) {
+          if (curr->empty()) {
+            if (m1->empty() || i + 1 < m1->back().qb) {
+              Intv m = p;
+              m.qb = i + 1;
+              m1->push_back(m);
+            }
+          }
+        } else if (curr->empty() || ok[c].s != curr->back().s) {
+          ok[c].qe = p.qe;
+          curr->push_back(ok[c]);
+        }
+      }
+      if (curr->empty()) break;
+      std::swap(*prev, *curr);
+    }
+    std::reverse(m1->begin(), m1->end());
+    // --- end smem1a ---
+    if (!round2) {
+      x = ret;
+      for (const Intv& p : *m1)
+        if (p.qe - p.qb >= min_seed_len) mems.push_back(p);
+    } else {
+      for (const Intv& m : *m1)
+        if (m.qe - m.qb >= min_seed_len) mems.push_back(m);
+    }
+  }
+  if (max_mem_intv > 0) {
+    x = 0;
+    while (x < len) {
+      if (q[x] > 3) {
+        ++x;
+        continue;
+      }
+      // --- seed_strategy1(fm, q, len, x, min_seed_len, max_mem_intv) ---
+      set_intv(fm, q[x], ik);
+      bool found = false;
+      Intv m{};
+      int i, next_x = len;
+      for (i = x + 1; i < len; ++i) {
+        if (q[i] < 4) {
+          int c = 3 - q[i];
+          extend_prefetch(fm, ik, false);
+          co_await std::suspend_always{};
+          bwt_extend(fm, ik, ok, false);
+          if (ok[c].s < max_mem_intv && i - x >= min_seed_len) {
+            m = ok[c];
+            m.qb = x;
+            m.qe = i + 1;
+            found = true;
+            next_x = i + 1;
+            break;
+          }
+          ik = ok[c];
+        } else {
+          next_x = i + 1;
+          break;
+        }
+      }
+      if (found && m.s > 0) mems.push_back(m);
+      x = next_x;
+    }
+  }
+  std::stable_sort(mems.begin(), mems.end(),
+                   [](const Intv& a, const Intv& b) {
+                     return a.qb != b.qb ? a.qb < b.qb : a.qe < b.qe;
+                   });
+  co_return;
+}
+
+// Run collect_intv over reads r0, r0+stride, ... with W coroutine lanes
+// interleaved round-robin. Per-read output identical to collect_intv.
+void collect_intv_interleaved(const FMView& fm, const uint8_t* reads,
+                              const int64_t* offsets, int64_t n_reads,
+                              int64_t r0, int64_t stride, int min_seed_len,
+                              double split_factor, int split_width,
+                              int64_t max_mem_intv,
+                              std::vector<std::vector<Intv>>& per_read) {
+  constexpr int W_MAX = 64;
+  int W = 32;
+  if (const char* e = std::getenv("LARIAT_SEED_LANES")) {
+    W = std::max(1, std::min(W_MAX, atoi(e)));
+  }
+  struct LaneBufs {
+    std::vector<Intv> m1, prev, curr;
+  };
+  static thread_local LaneBufs bufs[W_MAX];
+  std::coroutine_handle<SeedTask::promise_type> lanes[W_MAX];
+  int active = 0;
+  int64_t r = r0;
+  auto start_next = [&](int slot) -> bool {
+    while (r < n_reads) {
+      int64_t cur = r;
+      r += stride;
+      int len = static_cast<int>(offsets[cur + 1] - offsets[cur]);
+      if (len <= 0) continue;
+      lanes[slot] = collect_intv_co(fm, reads + offsets[cur], len,
+                                    min_seed_len, split_factor, split_width,
+                                    max_mem_intv, &per_read[cur],
+                                    &bufs[slot].m1, &bufs[slot].prev,
+                                    &bufs[slot].curr)
+                        .h;
+      return true;
+    }
+    return false;
+  };
+  while (active < W && start_next(active)) ++active;
+  while (active > 0) {
+    for (int s = 0; s < active;) {
+      lanes[s].resume();
+      if (lanes[s].done()) {
+        lanes[s].destroy();
+        if (start_next(s)) {
+          ++s;  // fresh lane runs on the next sweep
+        } else {
+          lanes[s] = lanes[--active];
+        }
+      } else {
+        ++s;
+      }
+    }
+  }
+}
+
 inline int bwt_code_at(const FMView& fm, int64_t k) {
   int64_t kx = k > fm.primary ? k - 1 : k;
   uint32_t word = fm.bwt_words[kx >> 4];
@@ -378,7 +667,21 @@ int64_t fm_collect_seeds_batch(
     int64_t* out_offsets, int n_threads) {
   FMView fm{bwt_words, occ_ckpt, L2, sa_samples, primary, seq_len, sa_intv};
   std::vector<std::vector<Intv>> per_read(n_reads);
+  // Coroutine interleaving is opt-in: on this build host (260 MB L3, ~60 ns
+  // effective latency) the sequential walk is already compute-bound at
+  // ~50 ns/extend and the coroutine overhead loses ~10%; on hosts where the
+  // FM arrays live in DRAM the interleaved walker overlaps the per-read
+  // pointer chases. Set LARIAT_SEED_LANES=<W> to enable (parity is
+  // bit-identical either way; tests cover both).
+  const bool interleave = std::getenv("LARIAT_SEED_LANES") != nullptr &&
+                          std::getenv("LARIAT_NO_INTERLEAVED_SEED") == nullptr;
   auto run_range = [&](int t, int workers) {
+    if (interleave) {
+      collect_intv_interleaved(fm, reads, offsets, n_reads, t, workers,
+                               min_seed_len, split_factor, split_width,
+                               max_mem_intv, per_read);
+      return;
+    }
     for (int64_t r = t; r < n_reads; r += workers) {
       const uint8_t* q = reads + offsets[r];
       int len = static_cast<int>(offsets[r + 1] - offsets[r]);

@@ -127,3 +127,34 @@ def test_ensure_native_hot_parity(phix):
     assert np.array_equal(before_sa, after_sa)
     for a, b in zip(before_seeds, after_seeds):
         assert np.array_equal(a, b)
+
+
+def test_interleaved_seed_walker_parity(phix, monkeypatch):
+    """The opt-in coroutine-interleaved seeding walker (LARIAT_SEED_LANES)
+    must be bit-identical to the sequential collect_intv walk, including
+    round-2 re-seeding and round-3 forward-greedy seeds, with lanes
+    narrower and wider than the read count."""
+    rng = np.random.default_rng(77)
+    text = np.concatenate([
+        fmindex.unpack_2bit(phix.pac, phix.l_pac),
+        (3 - fmindex.unpack_2bit(phix.pac, phix.l_pac))[::-1]])
+    opt = AlignerConfig()
+    reads = []
+    for t in range(60):
+        ln = int(rng.integers(21, 151))
+        start = int(rng.integers(0, phix.l_pac - ln))
+        r = text[start:start + ln].copy()
+        for _ in range(t % 5):
+            p = int(rng.integers(0, ln))
+            r[p] = (r[p] + 1) % 4
+        if t % 7 == 0:
+            r[int(rng.integers(0, ln))] = 4  # an N splits the scan
+        reads.append(r)
+    monkeypatch.delenv("LARIAT_SEED_LANES", raising=False)
+    base = native_ops.collect_seeds_batch(phix, reads, opt)
+    assert base is not None
+    for lanes in ("3", "32"):
+        monkeypatch.setenv("LARIAT_SEED_LANES", lanes)
+        inter = native_ops.collect_seeds_batch(phix, reads, opt)
+        for b, i in zip(base, inter):
+            assert np.array_equal(b, i)
