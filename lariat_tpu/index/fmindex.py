@@ -244,7 +244,7 @@ class FMIndex:
             return
         bufs = []
         for name in ("_packed_words", "occ_ckpt", "sa_samples",
-                     "_codes_cache"):
+                     "_codes_cache", "pac"):
             src = (self.packed_words if name == "_packed_words"
                    else getattr(self, name, None))
             if src is None:
@@ -253,7 +253,16 @@ class FMIndex:
             if src.nbytes < self._HOT_MIN_BYTES:
                 continue
             try:
-                buf = _mmap.mmap(-1, src.nbytes)
+                # MAP_PRIVATE, not the fileno=-1 default of MAP_SHARED:
+                # shared anonymous memory is shmem, whose THP policy
+                # (shmem_enabled) is commonly `never`, silently turning the
+                # MADV_HUGEPAGE below into a no-op. Private anonymous memory
+                # follows the main `enabled=madvise` policy and still shares
+                # read-only across the pre-fork worker pool.
+                flags = getattr(_mmap, "MAP_PRIVATE", 0) | getattr(
+                    _mmap, "MAP_ANONYMOUS", 0)
+                buf = (_mmap.mmap(-1, src.nbytes, flags=flags) if flags
+                       else _mmap.mmap(-1, src.nbytes))
             except (OSError, ValueError, OverflowError):
                 continue  # low-RAM host: keep the file-backed mapping
             try:
@@ -269,7 +278,8 @@ class FMIndex:
         if bufs:
             self._hot_bufs = bufs  # keep the mappings alive
             # ctypes pointer caches hold addresses into the old mmaps
-            for cache in ("_native_ptr_cache", "_occ_contig_cache"):
+            for cache in ("_native_ptr_cache", "_occ_contig_cache",
+                          "_align1_blobs"):
                 if hasattr(self, cache):
                     delattr(self, cache)
 

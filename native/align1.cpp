@@ -11,6 +11,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -23,6 +24,15 @@ int32_t ksw_global_one(const uint8_t* query, int qlen, const uint8_t* target,
                        int w, int match_sc, int mismatch_sc, int n_sc,
                        int32_t* score_out, int32_t* cigar_out,
                        int32_t cigar_cap);
+#ifdef __SSE2__
+void ksw_global_fill8(const uint8_t* q8, const uint8_t* t8, int qlen,
+                      int tlen, int o_del, int e_del, int o_ins, int e_ins,
+                      int w, int match_sc, int mismatch_sc, int n_sc,
+                      int32_t* scores8, uint8_t* z8);
+int32_t ksw_global_traceback_z(const uint8_t* z, int n_col, int qlen,
+                               int tlen, int w, int32_t* cigar_out,
+                               int32_t cigar_cap);
+#endif
 }
 
 namespace {
@@ -670,27 +680,122 @@ int64_t mem_reg2aln_batch(
     return std::max(w, (int64_t)std::llabs(l1 - l2));
   };
 
-  std::vector<uint8_t> rseq, qbuf;
-  std::vector<int32_t> cig;
-  int64_t cig_total = 0;
+  // Pass 1: per-task precompute — band, oriented query/reference buffers,
+  // path classification. Hoisting the fetch out of the band ladder is
+  // behavior-identical (rb/re never change across ladder rounds).
+  struct Pre {
+    int64_t w2 = 0;                  // post-reg_w-clamp band (pre ladder cap)
+    std::vector<uint8_t> rseq, qbuf;
+    bool degenerate = true;
+    // cached first-ladder-round DP result from the 8-lane SIMD fill
+    bool cached = false, have1 = false;
+    int32_t score1 = 0;
+    std::vector<int32_t> cig1;
+  };
+  std::vector<Pre> pre(n_tasks);
+  // groups of SIMD-eligible first rounds keyed by identical (lq, tlen, w2)
+  std::unordered_map<uint64_t, std::vector<int64_t>> groups;
   for (int64_t t = 0; t < n_tasks; ++t) {
     const int64_t* tk = tasks + t * 7;
     int64_t ridx = tk[0], qb = tk[1], qe = tk[2], rb = tk[3], re = tk[4];
     int64_t truesc = tk[5], reg_w = tk[6];
     const uint8_t* read = reads_flat + read_offsets[ridx];
-    int64_t l_full = read_offsets[ridx + 1] - read_offsets[ridx];
     int64_t l_query = qe - qb;
-    int64_t* m = meta_out + t * 6;
-
+    Pre& p = pre[t];
     int64_t w2 = std::max(
         infer_bw(l_query, re - rb, truesc, o_del, e_del),
         infer_bw(l_query, re - rb, truesc, o_ins, e_ins));
     if (w2 > band_width) w2 = std::min(w2, reg_w);
+    p.w2 = w2;
+    p.degenerate = (l_query <= 0 || rb >= re || (rb < l_pac && l_pac < re));
+    if (p.degenerate) continue;
+    g.fetch(rb, re, p.rseq);
+    p.qbuf.assign(read + qb, read + qe);
+    if (rb >= l_pac) {
+      std::reverse(p.qbuf.begin(), p.qbuf.end());
+      std::reverse(p.rseq.begin(), p.rseq.end());
+    }
+#ifdef __SSE2__
+    int64_t w_eff = std::min(w2, band_width << 2);
+    int64_t tl = (int64_t)p.rseq.size();
+    bool fast = (l_query == re - rb && w_eff == 0);
+    if (!fast && tl > 0 && l_query > 0 && tl == re - rb
+        && w_eff >= std::llabs(l_query - tl)
+        && l_query < 4000 && tl < 4000 && l_query * match < 12000
+        && o_del + e_del < 200 && o_ins + e_ins < 200 && w_eff < 30000) {
+      uint64_t key = ((uint64_t)l_query << 40) | ((uint64_t)tl << 16)
+                     | (uint64_t)w_eff;
+      groups[key].push_back(t);
+    }
+#endif
+  }
+#ifdef __SSE2__
+  // Pass 2: run the first ladder round for each shape group, 8 tasks per
+  // SIMD fill; partial chunks pad by replicating the first lane (padding
+  // lanes' outputs are discarded). Chunks under 3 real tasks fall back to
+  // the scalar kernel in pass 3.
+  {
+    std::vector<uint8_t> q8, t8, z8;
+    int32_t sc8[8];
+    for (auto& kv : groups) {
+      const std::vector<int64_t>& idxs = kv.second;
+      int64_t lq = (int64_t)(kv.first >> 40);
+      int64_t tl = (int64_t)((kv.first >> 16) & 0xFFFFFF);
+      int64_t w_eff = (int64_t)(kv.first & 0xFFFF);
+      int n_col = (int)std::min<int64_t>(lq, 2 * w_eff + 1);
+      for (size_t c0 = 0; c0 < idxs.size(); c0 += 8) {
+        int nreal = (int)std::min<size_t>(8, idxs.size() - c0);
+        if (nreal < 3) break;  // tail handled scalar in pass 3
+        q8.assign((size_t)8 * lq, 0);
+        t8.assign((size_t)8 * tl, 0);
+        for (int l = 0; l < 8; ++l) {
+          const Pre& p = pre[idxs[c0 + (l < nreal ? l : 0)]];
+          std::copy(p.qbuf.begin(), p.qbuf.end(), q8.begin() + (size_t)l * lq);
+          std::copy(p.rseq.begin(), p.rseq.end(), t8.begin() + (size_t)l * tl);
+        }
+        z8.assign((size_t)8 * tl * n_col, 0);
+        ksw_global_fill8(q8.data(), t8.data(), (int)lq, (int)tl, o_del,
+                         e_del, o_ins, e_ins, (int)w_eff, match, mismatch,
+                         n_sc, sc8, z8.data());
+        for (int l = 0; l < nreal; ++l) {
+          Pre& p = pre[idxs[c0 + l]];
+          p.cig1.resize(2 * (size_t)(lq + tl + 2));
+          int32_t n_ops = ksw_global_traceback_z(
+              z8.data() + (size_t)l * tl * n_col, n_col, (int)lq, (int)tl,
+              (int)w_eff, p.cig1.data(), (int32_t)(p.cig1.size() / 2));
+          if (n_ops > 0) {
+            p.cig1.resize(2 * (size_t)n_ops);
+            p.have1 = true;
+          } else {
+            p.cig1.clear();
+            p.have1 = false;
+          }
+          p.score1 = sc8[l];
+          p.cached = true;
+        }
+      }
+    }
+  }
+#endif
+  std::vector<int32_t> cig;
+  int64_t cig_total = 0;
+  for (int64_t t = 0; t < n_tasks; ++t) {
+    const int64_t* tk = tasks + t * 7;
+    int64_t ridx = tk[0], qb = tk[1], qe = tk[2], rb = tk[3], re = tk[4];
+    int64_t truesc = tk[5];
+    int64_t l_full = read_offsets[ridx + 1] - read_offsets[ridx];
+    int64_t l_query = qe - qb;
+    int64_t* m = meta_out + t * 6;
+    Pre& p = pre[t];
+    const std::vector<uint8_t>& rseq = p.rseq;
+    const std::vector<uint8_t>& qbuf = p.qbuf;
 
+    int64_t w2 = p.w2;
     int64_t last_sc = -((int64_t)1 << 30);
     int i = 0;
     int64_t NM = -1;
     bool have_cigar = false;
+    bool first_round = true;
     cig.clear();
     while (true) {
       w2 = std::min(w2, band_width << 2);
@@ -699,14 +804,12 @@ int64_t mem_reg2aln_batch(
       NM = -1;
       have_cigar = false;
       cig.clear();
-      if (!(l_query <= 0 || rb >= re || (rb < l_pac && l_pac < re))) {
-        g.fetch(rb, re, rseq);
-        qbuf.assign(read + qb, read + qe);
-        if (rb >= l_pac) {
-          std::reverse(qbuf.begin(), qbuf.end());
-          std::reverse(rseq.begin(), rseq.end());
-        }
-        if (l_query == re - rb && w2 == 0) {
+      if (!p.degenerate) {
+        if (first_round && p.cached) {
+          score = p.score1;
+          have_cigar = p.have1;
+          cig = p.cig1;
+        } else if (l_query == re - rb && w2 == 0) {
           for (int64_t k = 0; k < l_query; ++k)
             score += score_sub_pub(qbuf[k], rseq[k], match, mismatch, n_sc);
           cig.push_back(0);
@@ -748,6 +851,7 @@ int64_t mem_reg2aln_batch(
           NM = n_mm + n_gap;
         }
       }
+      first_round = false;
       if (score == last_sc || w2 == band_width << 2) break;
       last_sc = score;
       w2 <<= 1;

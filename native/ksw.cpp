@@ -111,6 +111,46 @@ void ksw_extend_one(const uint8_t* query, int qlen, const uint8_t* target,
 // cell); all engine call sites guarantee this (_infer_bw). For narrower
 // bands upstream bwa reads uninitialized malloc memory in the walk; here the
 // walk reads zero/neighbor bytes instead (score is still exact).
+// Traceback over a filled direction matrix (z, tlen x n_col). Shared by the
+// scalar and 8-lane SIMD global kernels — the SIMD kernel produces z bytes
+// bit-identical to the scalar fill, so the walk (and thus the CIGAR) is
+// identical by construction.
+static int32_t ksw_global_traceback(const uint8_t* z, int n_col, int qlen,
+                                    int tlen, int w, int32_t* cigar_out,
+                                    int32_t cigar_cap) {
+  int n_ops = 0;
+  auto push = [&](int op, int ln) -> bool {
+    if (n_ops && cigar_out[2 * (n_ops - 1)] == op) {
+      cigar_out[2 * (n_ops - 1) + 1] += ln;
+      return true;
+    }
+    if (n_ops >= cigar_cap) return false;
+    cigar_out[2 * n_ops] = op;
+    cigar_out[2 * n_ops + 1] = ln;
+    ++n_ops;
+    return true;
+  };
+  int which = 0, i = tlen - 1;
+  int k = std::min(i + w + 1, qlen) - 1;
+  while (i >= 0 && k >= 0) {
+    int beg = i > w ? i - w : 0;
+    which = (z[(size_t)i * n_col + (k - beg)] >> (which << 1)) & 3;
+    bool ok;
+    if (which == 0) { ok = push(0, 1); --i; --k; }
+    else if (which == 1) { ok = push(2, 1); --i; }
+    else { ok = push(1, 1); --k; }
+    if (!ok) return -1;
+  }
+  if (i >= 0 && !push(2, i + 1)) return -1;
+  if (k >= 0 && !push(1, k + 1)) return -1;
+  // reverse op pairs
+  for (int a = 0, b = n_ops - 1; a < b; ++a, --b) {
+    std::swap(cigar_out[2 * a], cigar_out[2 * b]);
+    std::swap(cigar_out[2 * a + 1], cigar_out[2 * b + 1]);
+  }
+  return n_ops;
+}
+
 int32_t ksw_global_one(const uint8_t* query, int qlen, const uint8_t* target,
                        int tlen, int o_del, int e_del, int o_ins, int e_ins,
                        int w, int match_sc, int mismatch_sc, int n_sc,
@@ -152,41 +192,148 @@ int32_t ksw_global_one(const uint8_t* query, int qlen, const uint8_t* target,
     eh_e[end] = NEG;
   }
   *score_out = eh_h[qlen];
-  // backtrack
-  int n_ops = 0;
-  auto push = [&](int op, int ln) -> bool {
-    if (n_ops && cigar_out[2 * (n_ops - 1)] == op) {
-      cigar_out[2 * (n_ops - 1) + 1] += ln;
-      return true;
-    }
-    if (n_ops >= cigar_cap) return false;
-    cigar_out[2 * n_ops] = op;
-    cigar_out[2 * n_ops + 1] = ln;
-    ++n_ops;
-    return true;
-  };
-  int which = 0, i = tlen - 1;
-  int k = std::min(i + w + 1, qlen) - 1;
-  while (i >= 0 && k >= 0) {
-    int beg = i > w ? i - w : 0;
-    which = (z[(size_t)i * n_col + (k - beg)] >> (which << 1)) & 3;
-    bool ok;
-    if (which == 0) { ok = push(0, 1); --i; --k; }
-    else if (which == 1) { ok = push(2, 1); --i; }
-    else { ok = push(1, 1); --k; }
-    if (!ok) return -1;
-  }
-  if (i >= 0 && !push(2, i + 1)) return -1;
-  if (k >= 0 && !push(1, k + 1)) return -1;
-  // reverse op pairs
-  for (int a = 0, b = n_ops - 1; a < b; ++a, --b) {
-    std::swap(cigar_out[2 * a], cigar_out[2 * b]);
-    std::swap(cigar_out[2 * a + 1], cigar_out[2 * b + 1]);
-  }
-  return n_ops;
+  return ksw_global_traceback(z.data(), n_col, qlen, tlen, w, cigar_out,
+                              cigar_cap);
 }
 
 #ifdef __SSE2__
+// 8-lane inter-task banded global DP fill (int16). All 8 tasks share
+// (qlen, tlen, w), so every lane has the same band geometry and the scalar
+// recurrence vectorizes across tasks with no per-lane control flow. The
+// direction bytes are produced bit-identically to ksw_global_one's fill
+// (same comparisons, same bit layout), so running the shared traceback over
+// each lane's z yields the identical CIGAR. Sentinel: the scalar kernel's
+// NEG (-2^30) class becomes -28000 in int16; every comparison in the
+// recurrence depends only on (class, delta-from-sentinel), and deltas decay
+// by at most ~20 per cell chain, so no int16 overflow and identical
+// outcomes as long as real scores stay under ~16000 (caller guards
+// qlen*match). Requires w >= |qlen - tlen| (caller guards) so the final
+// cell is real-class and lane scores equal the scalar's.
+// z8: 8 lane matrices of tlen*n_col bytes each, caller-zeroed.
+extern "C" void ksw_global_fill8(const uint8_t* q8, const uint8_t* t8,
+                                 int qlen, int tlen, int o_del, int e_del,
+                                 int o_ins, int e_ins, int w, int match_sc,
+                                 int mismatch_sc, int n_sc,
+                                 int32_t* scores8, uint8_t* z8) {
+  const int16_t NEG16 = -28000;
+  const int n_col = std::min(qlen, 2 * w + 1);
+  const int gapoe_del = o_del + e_del, gapoe_ins = o_ins + e_ins;
+  std::vector<__m128i> qv(qlen), tv(tlen), eh_h(qlen + 2), eh_e(qlen + 2),
+      drow(n_col);
+  for (int j = 0; j < qlen; ++j) {
+    int16_t* p = (int16_t*)&qv[j];
+    for (int l = 0; l < 8; ++l) p[l] = q8[(size_t)l * qlen + j];
+  }
+  for (int i = 0; i < tlen; ++i) {
+    int16_t* p = (int16_t*)&tv[i];
+    for (int l = 0; l < 8; ++l) p[l] = t8[(size_t)l * tlen + i];
+  }
+  const __m128i vneg = _mm_set1_epi16(NEG16);
+  for (int j = 0; j < qlen + 2; ++j) {
+    eh_h[j] = vneg;
+    eh_e[j] = vneg;
+  }
+  eh_h[0] = _mm_setzero_si128();
+  for (int j = 1; j <= qlen && j <= w; ++j)
+    eh_h[j] = _mm_set1_epi16((int16_t)(-(o_ins + e_ins * j)));
+  const __m128i vmatch = _mm_set1_epi16((int16_t)match_sc);
+  const __m128i vmis = _mm_set1_epi16((int16_t)mismatch_sc);
+  const __m128i vn = _mm_set1_epi16((int16_t)n_sc);
+  const __m128i v3 = _mm_set1_epi16(3);
+  const __m128i v1 = _mm_set1_epi16(1);
+  const __m128i v2 = _mm_set1_epi16(2);
+  const __m128i v4 = _mm_set1_epi16(4);
+  const __m128i v32 = _mm_set1_epi16(32);
+  const __m128i vgoe_d = _mm_set1_epi16((int16_t)gapoe_del);
+  const __m128i ve_d = _mm_set1_epi16((int16_t)e_del);
+  const __m128i vgoe_i = _mm_set1_epi16((int16_t)gapoe_ins);
+  const __m128i ve_i = _mm_set1_epi16((int16_t)e_ins);
+  for (int i = 0; i < tlen; ++i) {
+    int beg = i > w ? i - w : 0;
+    int end = std::min(i + w + 1, qlen);
+    if (beg >= end) break;
+    __m128i f = vneg;
+    __m128i h1 = beg == 0
+        ? _mm_set1_epi16((int16_t)(-(o_del + e_del * (i + 1)))) : vneg;
+    const __m128i vt = tv[i];
+    const __m128i t_is_n = _mm_cmpgt_epi16(vt, v3);
+    for (int j = beg; j < end; ++j) {
+      __m128i M = eh_h[j], e = eh_e[j];
+      eh_h[j] = h1;
+      __m128i vq = qv[j];
+      __m128i eq = _mm_cmpeq_epi16(vq, vt);
+      __m128i isn = _mm_or_si128(_mm_cmpgt_epi16(vq, v3), t_is_n);
+      __m128i sub = _mm_or_si128(_mm_and_si128(eq, vmatch),
+                                 _mm_andnot_si128(eq, vmis));
+      sub = _mm_or_si128(_mm_and_si128(isn, vn),
+                         _mm_andnot_si128(isn, sub));
+      M = _mm_add_epi16(M, sub);
+      __m128i m_lt_e = _mm_cmpgt_epi16(e, M);
+      __m128i d = _mm_and_si128(m_lt_e, v1);
+      __m128i h = _mm_max_epi16(M, e);
+      __m128i h_lt_f = _mm_cmpgt_epi16(f, h);
+      d = _mm_or_si128(_mm_andnot_si128(h_lt_f, d),
+                       _mm_and_si128(h_lt_f, v2));
+      h = _mm_max_epi16(h, f);
+      h1 = h;
+      __m128i t1 = _mm_sub_epi16(M, vgoe_d);
+      e = _mm_sub_epi16(e, ve_d);
+      d = _mm_or_si128(d, _mm_and_si128(_mm_cmpgt_epi16(e, t1), v4));
+      e = _mm_max_epi16(e, t1);
+      eh_e[j] = e;
+      __m128i t2 = _mm_sub_epi16(M, vgoe_i);
+      f = _mm_sub_epi16(f, ve_i);
+      d = _mm_or_si128(d, _mm_and_si128(_mm_cmpgt_epi16(f, t2), v32));
+      f = _mm_max_epi16(f, t2);
+      drow[j - beg] = d;
+    }
+    eh_h[end] = h1;
+    eh_e[end] = vneg;
+    // scatter the row's direction vectors into the 8 per-lane z matrices:
+    // 8x8 int16 transpose per block, then pack to bytes (d <= 63)
+    const int row_n = end - beg;
+    int jb = 0;
+    for (; jb + 8 <= row_n; jb += 8) {
+      __m128i r0 = drow[jb], r1 = drow[jb + 1], r2 = drow[jb + 2],
+              r3 = drow[jb + 3], r4 = drow[jb + 4], r5 = drow[jb + 5],
+              r6 = drow[jb + 6], r7 = drow[jb + 7];
+      __m128i a0 = _mm_unpacklo_epi16(r0, r1), a1 = _mm_unpackhi_epi16(r0, r1);
+      __m128i a2 = _mm_unpacklo_epi16(r2, r3), a3 = _mm_unpackhi_epi16(r2, r3);
+      __m128i a4 = _mm_unpacklo_epi16(r4, r5), a5 = _mm_unpackhi_epi16(r4, r5);
+      __m128i a6 = _mm_unpacklo_epi16(r6, r7), a7 = _mm_unpackhi_epi16(r6, r7);
+      __m128i b0 = _mm_unpacklo_epi32(a0, a2), b1 = _mm_unpackhi_epi32(a0, a2);
+      __m128i b2 = _mm_unpacklo_epi32(a1, a3), b3 = _mm_unpackhi_epi32(a1, a3);
+      __m128i b4 = _mm_unpacklo_epi32(a4, a6), b5 = _mm_unpackhi_epi32(a4, a6);
+      __m128i b6 = _mm_unpacklo_epi32(a5, a7), b7 = _mm_unpackhi_epi32(a5, a7);
+      __m128i lanes[8] = {
+          _mm_unpacklo_epi64(b0, b4), _mm_unpackhi_epi64(b0, b4),
+          _mm_unpacklo_epi64(b1, b5), _mm_unpackhi_epi64(b1, b5),
+          _mm_unpacklo_epi64(b2, b6), _mm_unpackhi_epi64(b2, b6),
+          _mm_unpacklo_epi64(b3, b7), _mm_unpackhi_epi64(b3, b7)};
+      for (int l = 0; l < 8; ++l) {
+        _mm_storel_epi64(
+            (__m128i*)(z8 + ((size_t)l * tlen + i) * n_col + jb),
+            _mm_packus_epi16(lanes[l], lanes[l]));
+      }
+    }
+    for (; jb < row_n; ++jb) {
+      const int16_t* dv = (const int16_t*)&drow[jb];
+      for (int l = 0; l < 8; ++l)
+        z8[((size_t)l * tlen + i) * n_col + jb] = (uint8_t)dv[l];
+    }
+  }
+  const int16_t* hv = (const int16_t*)&eh_h[qlen];
+  for (int l = 0; l < 8; ++l) scores8[l] = hv[l];
+}
+
+// C-ABI traceback over one lane's z matrix (for tests and align1.cpp).
+extern "C" int32_t ksw_global_traceback_z(const uint8_t* z, int n_col,
+                                          int qlen, int tlen, int w,
+                                          int32_t* cigar_out,
+                                          int32_t cigar_cap) {
+  return ksw_global_traceback(z, n_col, qlen, tlen, w, cigar_out, cigar_cap);
+}
+
 // Striped (Farrar) local SW, 16x uint8 lanes. Bit-exact vs the scalar core
 // under the same two exactness fixes as the int16 kernel below (E re-opened
 // from F-raised H in the lazy-F fixup; padded lanes masked out of row
