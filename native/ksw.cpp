@@ -9,6 +9,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <vector>
 
 #ifdef __SSE2__
@@ -661,19 +662,126 @@ static void local_core(const uint8_t* query, int qlen, const uint8_t* target,
   out[0] = gmax; out[1] = te; out[2] = qe; out[3] = score2; out[4] = te2;
 }
 
-// Full local alignment (XSUBO|XSTART): [score, qb, qe, tb, te, score2, te2].
-void ksw_local_one(const uint8_t* query, int qlen, const uint8_t* target,
-                   int tlen, int o_del, int e_del, int o_ins, int e_ins,
-                   int minsc, int match_sc, int mismatch_sc, int n_sc,
-                   int32_t* out) {
-  if (qlen == 0 || tlen == 0) {
-    out[0] = 0; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
-    out[5] = -1; out[6] = -1;
-    return;
+#ifdef __SSE2__
+// Inter-task 16-lane uint8 forward local SW: 16 same-shape (qlen, tlen)
+// tasks, one per byte lane. The mate-rescue forward pass never early-breaks
+// (endsc = 1<<30), every lane is real (no pad masking), and the per-row
+// column max / first-max column index ride in-vector (strict-increase
+// update replicates the scalar's first-max tie rule exactly). Per-lane
+// gmax/te/col_bests bookkeeping is scalar per row from the extracted
+// 16-byte row summaries. Output rows match local_core's contract
+// [score, te, qe, score2, te2]. Caller guards the uint8 range.
+static void local_fwd16_u8(const uint8_t* const* queries, int qlen,
+                           const uint8_t* const* targets, int tlen,
+                           int o_del, int e_del, int o_ins, int e_ins,
+                           int minsc, int match_sc, int mismatch_sc,
+                           int n_sc, int32_t out[16][5]) {
+  const int B = std::max(0, -std::min(mismatch_sc, n_sc));
+  std::vector<__m128i> qv(qlen), tv(tlen), Hp(qlen), Hc(qlen), E(qlen);
+  for (int j = 0; j < qlen; ++j) {
+    uint8_t* p = (uint8_t*)&qv[j];
+    for (int l = 0; l < 16; ++l) p[l] = queries[l][j];
   }
-  int32_t fwd[5];
-  local_core(query, qlen, target, tlen, o_del, e_del, o_ins, e_ins, minsc,
-             1 << 30, match_sc, mismatch_sc, n_sc, fwd);
+  for (int i = 0; i < tlen; ++i) {
+    uint8_t* p = (uint8_t*)&tv[i];
+    for (int l = 0; l < 16; ++l) p[l] = targets[l][i];
+  }
+  const __m128i zero = _mm_setzero_si128();
+  for (int j = 0; j < qlen; ++j) {
+    Hp[j] = zero;
+    E[j] = zero;
+  }
+  const __m128i vB = _mm_set1_epi8((char)B);
+  const __m128i vpm = _mm_set1_epi8((char)(match_sc + B));
+  const __m128i vpmm = _mm_set1_epi8((char)(mismatch_sc + B));
+  const __m128i vpn = _mm_set1_epi8((char)(n_sc + B));
+  const __m128i v3 = _mm_set1_epi8(3);
+  const __m128i voe_del = _mm_set1_epi8((char)(o_del + e_del));
+  const __m128i ve_del = _mm_set1_epi8((char)e_del);
+  const __m128i voe_ins = _mm_set1_epi8((char)(o_ins + e_ins));
+  const __m128i ve_ins = _mm_set1_epi8((char)e_ins);
+  struct Lane {
+    int32_t gmax = 0, te = -1, qe = 0;
+    std::vector<std::pair<int32_t, int32_t>> col_bests;
+  };
+  std::vector<Lane> lanes(16);
+  alignas(16) uint8_t cm[16], cq[16];
+  for (int i = 0; i < tlen; ++i) {
+    __m128i f = zero, colmax = zero, col_qe = zero;
+    const __m128i vt = tv[i];
+    const __m128i t_is_n = _mm_cmpgt_epi8(vt, v3);
+    for (int j = 0; j < qlen; ++j) {
+      __m128i diag = j ? Hp[j - 1] : zero;
+      __m128i vq = qv[j];
+      __m128i eq = _mm_cmpeq_epi8(vq, vt);
+      __m128i isn = _mm_or_si128(_mm_cmpgt_epi8(vq, v3), t_is_n);
+      __m128i prof = _mm_or_si128(_mm_and_si128(eq, vpm),
+                                  _mm_andnot_si128(eq, vpmm));
+      prof = _mm_or_si128(_mm_and_si128(isn, vpn),
+                          _mm_andnot_si128(isn, prof));
+      __m128i M = _mm_subs_epu8(_mm_adds_epu8(diag, prof), vB);
+      __m128i h = _mm_max_epu8(M, E[j]);
+      h = _mm_max_epu8(h, f);
+      __m128i nm = _mm_max_epu8(colmax, h);
+      __m128i same = _mm_cmpeq_epi8(nm, colmax);  // 0xFF where no increase
+      col_qe = _mm_or_si128(_mm_and_si128(same, col_qe),
+                            _mm_andnot_si128(same, _mm_set1_epi8((char)j)));
+      colmax = nm;
+      f = _mm_max_epu8(_mm_subs_epu8(f, ve_ins), _mm_subs_epu8(h, voe_ins));
+      E[j] = _mm_max_epu8(_mm_subs_epu8(E[j], ve_del),
+                          _mm_subs_epu8(h, voe_del));
+      Hc[j] = h;
+    }
+    std::swap(Hp, Hc);
+    _mm_store_si128((__m128i*)cm, colmax);
+    _mm_store_si128((__m128i*)cq, col_qe);
+    for (int l = 0; l < 16; ++l) {
+      int32_t col_max = cm[l];
+      Lane& L = lanes[l];
+      if (col_max >= minsc) {
+        if (L.col_bests.empty() || L.col_bests.back().second + 1 != i)
+          L.col_bests.push_back({col_max, i});
+        else if (L.col_bests.back().first < col_max)
+          L.col_bests.back() = {col_max, i};
+      }
+      if (col_max > L.gmax) {
+        L.gmax = col_max;
+        L.te = i;
+        L.qe = cq[l];
+      }
+    }
+  }
+  for (int l = 0; l < 16; ++l) {
+    Lane& L = lanes[l];
+    if (L.te < 0) {
+      out[l][0] = 0; out[l][1] = -1; out[l][2] = -1; out[l][3] = -1;
+      out[l][4] = -1;
+      continue;
+    }
+    int32_t score2 = -1, te2 = -1;
+    int radius = (L.gmax + match_sc - 1) / match_sc;
+    for (auto& cb : L.col_bests) {
+      if ((cb.second < L.te - radius || cb.second > L.te + radius)
+          && cb.first > score2) {
+        score2 = cb.first;
+        te2 = cb.second;
+      }
+    }
+    out[l][0] = L.gmax; out[l][1] = L.te; out[l][2] = L.qe;
+    out[l][3] = score2; out[l][4] = te2;
+  }
+}
+#endif  // __SSE2__
+
+// Finish one task given its forward-pass result (reverse pass for start
+// coordinates) — the tail of ksw_local_one.
+static void local_finish_from_fwd(const uint8_t* query, int qlen,
+                                  const uint8_t* target, int tlen,
+                                  int o_del, int e_del, int o_ins, int e_ins,
+                                  int minsc, int match_sc, int mismatch_sc,
+                                  int n_sc, const int32_t fwd[5],
+                                  int32_t* out) {
+  (void)qlen; (void)tlen;
   int32_t score = fwd[0], te = fwd[1], qe = fwd[2];
   if (te < 0 || score < minsc) {
     out[0] = score; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
@@ -695,6 +803,23 @@ void ksw_local_one(const uint8_t* query, int qlen, const uint8_t* target,
   out[6] = fwd[4];
 }
 
+// Full local alignment (XSUBO|XSTART): [score, qb, qe, tb, te, score2, te2].
+void ksw_local_one(const uint8_t* query, int qlen, const uint8_t* target,
+                   int tlen, int o_del, int e_del, int o_ins, int e_ins,
+                   int minsc, int match_sc, int mismatch_sc, int n_sc,
+                   int32_t* out) {
+  if (qlen == 0 || tlen == 0) {
+    out[0] = 0; out[1] = -1; out[2] = -1; out[3] = -1; out[4] = -1;
+    out[5] = -1; out[6] = -1;
+    return;
+  }
+  int32_t fwd[5];
+  local_core(query, qlen, target, tlen, o_del, e_del, o_ins, e_ins, minsc,
+             1 << 30, match_sc, mismatch_sc, n_sc, fwd);
+  local_finish_from_fwd(query, qlen, target, tlen, o_del, e_del, o_ins,
+                        e_ins, minsc, match_sc, mismatch_sc, n_sc, fwd, out);
+}
+
 // Batched ksw_local_one: one FFI call for a whole barcode's mate-rescue
 // DPs (per-call ctypes packing costs ~50 us; rescue runs ~1 DP per pair).
 // queries/targets are concatenated code arrays delimited by q_off/t_off
@@ -704,6 +829,56 @@ void ksw_local_batch(const uint8_t* queries, const int64_t* q_off,
                      int64_t n, int o_del, int e_del, int o_ins, int e_ins,
                      int minsc, int match_sc, int mismatch_sc, int n_sc,
                      int32_t* out) {
+#ifdef __SSE2__
+  // Mate-rescue batches are overwhelmingly one (qlen, tlen) shape (the
+  // pestat window), so run the forward pass 16 same-shape tasks at a time;
+  // the reverse start-coordinate pass (diverse (qe, te) shapes, early
+  // endsc break) stays per-task. Bit-identical to the sequential loop.
+  const int B = std::max(0, -std::min(mismatch_sc, n_sc));
+  std::unordered_map<uint64_t, std::vector<int64_t>> groups;
+  std::vector<bool> done(n, false);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t ql = q_off[i + 1] - q_off[i], tl = t_off[i + 1] - t_off[i];
+    if (ql >= 2 && tl >= 1 && ql <= 255
+        && ql * match_sc + match_sc + B <= 254
+        && o_del + e_del <= 254 && o_ins + e_ins <= 254 && match_sc > 0)
+      groups[(uint64_t)ql << 32 | (uint64_t)tl].push_back(i);
+  }
+  const uint8_t* qp[16];
+  const uint8_t* tp[16];
+  int32_t fwd[16][5];
+  for (auto& kv : groups) {
+    const std::vector<int64_t>& idxs = kv.second;
+    int qlen = (int)(kv.first >> 32), tlen = (int)(kv.first & 0xFFFFFFFF);
+    for (size_t c0 = 0; c0 < idxs.size(); c0 += 16) {
+      int nreal = (int)std::min<size_t>(16, idxs.size() - c0);
+      if (nreal < 4) break;  // tail cheaper per-task
+      for (int l = 0; l < 16; ++l) {
+        int64_t i = idxs[c0 + (l < nreal ? l : 0)];
+        qp[l] = queries + q_off[i];
+        tp[l] = targets + t_off[i];
+      }
+      local_fwd16_u8(qp, qlen, tp, tlen, o_del, e_del, o_ins, e_ins, minsc,
+                     match_sc, mismatch_sc, n_sc, fwd);
+      for (int l = 0; l < nreal; ++l) {
+        int64_t i = idxs[c0 + l];
+        local_finish_from_fwd(qp[l], qlen, tp[l], tlen, o_del, e_del, o_ins,
+                              e_ins, minsc, match_sc, mismatch_sc, n_sc,
+                              fwd[l], out + i * 7);
+        done[i] = true;
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    if (done[i]) continue;
+    ksw_local_one(queries + q_off[i],
+                  static_cast<int>(q_off[i + 1] - q_off[i]),
+                  targets + t_off[i],
+                  static_cast<int>(t_off[i + 1] - t_off[i]),
+                  o_del, e_del, o_ins, e_ins, minsc, match_sc, mismatch_sc,
+                  n_sc, out + i * 7);
+  }
+#else
   for (int64_t i = 0; i < n; ++i) {
     ksw_local_one(queries + q_off[i],
                   static_cast<int>(q_off[i + 1] - q_off[i]),
@@ -712,6 +887,7 @@ void ksw_local_batch(const uint8_t* queries, const int64_t* q_off,
                   o_del, e_del, o_ins, e_ins, minsc, match_sc, mismatch_sc,
                   n_sc, out + i * 7);
   }
+#endif
 }
 
 }  // extern "C"
