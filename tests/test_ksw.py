@@ -268,3 +268,34 @@ def test_local_native_u8_vs_python(seed):
         nat_res = ksw.local_align_batch_native(
             [(q, t)], mat, O_DEL, E_DEL, O_INS, E_INS, minsc)[0]
         assert dataclasses.astuple(ref_res) == dataclasses.astuple(nat_res)
+
+
+def test_local_batch16_grouping_vs_single(seed=0):
+    """ksw_local_batch's 16-lane same-shape forward grouping (plus scalar
+    tail and odd-shape fallback) must equal per-task local_align on every
+    field. Covers native/ksw.cpp local_fwd16_u8 + local_finish_from_fwd."""
+    import dataclasses
+
+    if ksw._get_native() is None:
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(321)
+    tasks = []
+    tl = 412
+    for i in range(41):  # two full octade groups + scalar tail
+        t = rng.integers(0, 5 if i % 6 == 0 else 4, tl).astype(np.int64)
+        off = int(rng.integers(0, tl - 160))
+        q = t[off:off + 151].copy()
+        nm = int(rng.integers(0, 8))
+        ix = rng.integers(0, 151, nm)
+        q[ix] = (q[ix] + rng.integers(1, 4, nm)) % 4
+        if i % 9 == 0:
+            q = rng.integers(0, 4, 151).astype(np.int64)  # no alignment
+        tasks.append((q, t))
+    for ql, tl2 in ((2, 3), (77, 300), (151, 200)):  # odd shapes
+        tasks.append((rng.integers(0, 4, ql).astype(np.int64),
+                      rng.integers(0, 4, tl2).astype(np.int64)))
+    got = ksw.local_align_batch_native(tasks, MAT, O_DEL, E_DEL, O_INS,
+                                       E_INS, 19)
+    for (q, t), g in zip(tasks, got):
+        want = ksw.local_align(q, t, MAT, O_DEL, E_DEL, O_INS, E_INS, 19)
+        assert dataclasses.astuple(want) == dataclasses.astuple(g)
