@@ -272,6 +272,14 @@ class AlignmentEngine:
         # fast-out (their rescuer is a properly-oriented mate hit); the rare
         # survivor runs one host-native DP inline, bit-identical to the
         # device kernel (tests/test_sw_local.py).
+        #
+        # Pristine-skip pruning (exact): _rescue_skip(m, regs) is True iff
+        # ANY properly-oriented mate hit is in range, and replay only ever
+        # APPENDS to the reg lists — so skip-true against the pristine list
+        # implies skip-true at replay time and the window is provably dead.
+        # ~2/3 of planned DPs die here at hg38 scale; the replay loops below
+        # still consult _rescue_skip, so a (None, None) marker is handled by
+        # the existing window-was-None path without ever reaching it.
         tasks = []
         plans0 = []        # exact: list of (m, ti, rb) per pair
         plans1 = []        # speculative: {id(m): (ti, rb)} per pair
@@ -283,6 +291,9 @@ class AlignmentEngine:
                     break
                 if m.score >= b2 - score_delta:
                     num += 1
+                    if self._rescue_skip(m, regs1):
+                        plan.append((m, None, None))
+                        continue
                     win = self._rescue_window(m, q1)
                     if win is None:
                         plan.append((m, None, None))
@@ -298,6 +309,9 @@ class AlignmentEngine:
                     break
                 if m.score >= b1 - score_delta:
                     num += 1
+                    if self._rescue_skip(m, regs2):
+                        spec[id(m)] = (None, None)
+                        continue
                     win = self._rescue_window(m, q2)
                     if win is None:
                         spec[id(m)] = (None, None)
