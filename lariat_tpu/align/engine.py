@@ -323,12 +323,14 @@ class AlignmentEngine:
         alns = local_align_fn(tasks)
 
         # phase 0 replay: rescue read1 from regs2 anchors (appends to regs1)
+        # (ti-None entries — pristine-skipped or window-less — short-circuit
+        # before the skip probe; both paths continue, so order is immaterial)
         for (q1, q2, regs1, regs2), plan in zip(pairs, plans0):
             l_ms = len(q1)
             for m, ti, rb in plan:
-                if self._rescue_skip(m, regs1):
-                    continue
                 if ti is None:
+                    continue
+                if self._rescue_skip(m, regs1):
                     continue
                 self._rescue_apply(m, regs1, alns[ti], rb, l_ms)
 
@@ -348,9 +350,9 @@ class AlignmentEngine:
                 cached = spec.get(id(m), _MISS)
                 if cached is not _MISS:
                     ti, rb = cached
-                    if self._rescue_skip(m, regs2):
-                        continue
                     if ti is None:
+                        continue
+                    if self._rescue_skip(m, regs2):
                         continue
                     self._rescue_apply(m, regs2, alns[ti], rb, l_ms)
                     continue

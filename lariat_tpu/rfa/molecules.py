@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import List
 
-from .scoring import score_alignment
+from .scoring import _part, score_alignment
 from .types import Alignment, CandidateMolecule, SwapOrderedMap
 
 MOLECULE_GAP = 50000
@@ -29,18 +29,18 @@ def infer_molecules(positions: List[List[Alignment]]) -> List[CandidateMolecule]
                 current = CandidateMolecule(
                     id=molecule_num, chrom=aln.contig, start=aln.pos)
                 aln_map = SwapOrderedMap()
-                aln_map.set(aln.id, aln)
-                current.alignments.set(aln.read_id, aln_map)
+                aln_map[aln.id] = aln
+                current.alignments[aln.read_id] = aln_map
                 out.append(current)
                 molecule_num += 1
             else:
                 aln_map = current.alignments.get(aln.read_id)
                 if aln_map is not None:
-                    aln_map.set(aln.id, aln)
+                    aln_map[aln.id] = aln
                 else:
                     aln_map = SwapOrderedMap()
-                    aln_map.set(aln.id, aln)
-                    current.alignments.set(aln.read_id, aln_map)
+                    aln_map[aln.id] = aln
+                    current.alignments[aln.read_id] = aln_map
         if plist:
             current.stop = plist[-1].pos
     return out
@@ -53,18 +53,40 @@ def mark_best_alignment_for_read_in_molecule(
     for molecule in molecules:
         active_alignments = SwapOrderedMap()
         best_for_read = SwapOrderedMap()
-        for read_id in molecule.alignments.keys():
-            alignments = molecule.alignments.get(read_id)
+        mol_alignments = molecule.alignments
+        for read_id, alignments in dict.items(mol_alignments):
             best_score = -float("inf")
             best_alignment = None
-            for alignment_id in alignments.keys():
-                alignment = alignments.get(alignment_id)
-                mate_alignments = molecule.alignments.get(alignment.mate_id)
-                if mate_alignments is not None and len(mate_alignments) > 0:
-                    for mate_id2 in mate_alignments.keys():
-                        mate = mate_alignments.get(mate_id2)
-                        score = score_alignment(alignment, mate, 0.0,
-                                                improper_pair_penalty)
+            # all alignments of a read share mate_id — hoist the mate map
+            # lookup and its value list out of the per-alignment loop
+            first = next(iter(dict.values(alignments)))
+            mate_alignments = mol_alignments.get(first.mate_id)
+            mates = (list(dict.values(mate_alignments))
+                     if mate_alignments else None)
+            for alignment in dict.values(alignments):
+                if mates:
+                    # inlined score_alignment(alignment, mate, 0.0, ipp)
+                    # replaying the exact scalar float order; the
+                    # log_molecule_penalty term is 0.0 here (no-op add)
+                    pa = alignment.score_part
+                    if pa is None:
+                        pa = _part(alignment)
+                    a_rev = alignment.reversed_
+                    a_contig = alignment.contig
+                    a_pos = alignment.pos
+                    base = 0.0 + pa
+                    for mate in mates:
+                        pm = mate.score_part
+                        if pm is None:
+                            pm = _part(mate)
+                        score = base + pm
+                        if a_rev == mate.reversed_ or a_contig != mate.contig:
+                            score += improper_pair_penalty
+                        else:
+                            dist = (a_pos - mate.pos if a_rev
+                                    else mate.pos - a_pos)
+                            if not (-35 <= dist < 750):
+                                score += improper_pair_penalty
                         if score > best_score:
                             best_score = score
                             best_alignment = alignment
@@ -73,10 +95,10 @@ def mark_best_alignment_for_read_in_molecule(
                         best_score = alignment.log_alignment_probability
                         best_alignment = alignment
                 if alignment.active:
-                    active_alignments.set(read_id, alignment)
+                    active_alignments[read_id] = alignment
             if best_alignment.active:
-                active_alignments.set(read_id, best_alignment)
-            best_for_read.set(read_id, best_alignment)
+                active_alignments[read_id] = best_alignment
+            best_for_read[read_id] = best_alignment
         for aln in active_alignments.values():
             for loc in aln.mismatch_locs:
                 molecule.mismatch_locs[loc] = molecule.mismatch_locs.get(loc, 0) + 1
@@ -92,16 +114,14 @@ def scrap_molecules(molecules: List[CandidateMolecule]
     for mol in molecules:
         if len(mol.active_alignments) > 0:
             kept.append(mol)
-            for read_id in mol.alignments.keys():
-                amap = mol.alignments.get(read_id)
-                for aid in amap.keys():
-                    amap.get(aid).molecule_id = count
+            for amap in dict.values(mol.alignments):
+                for aln in dict.values(amap):
+                    aln.molecule_id = count
             count += 1
         else:
-            for read_id in mol.alignments.keys():
-                amap = mol.alignments.get(read_id)
-                for aid in amap.keys():
-                    amap.get(aid).molecule_id = -1
+            for amap in dict.values(mol.alignments):
+                for aln in dict.values(amap):
+                    aln.molecule_id = -1
     return kept
 
 

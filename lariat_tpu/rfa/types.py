@@ -8,59 +8,44 @@ from typing import Dict, List, Optional, Tuple
 from ..io.fastq import FastQRecord
 
 
-class SwapOrderedMap:
+class SwapOrderedMap(dict):
     """Int-keyed map with insertion-order iteration and swap-delete.
 
     Replicates the reference's OrderedMap (``inference/ordered_map.go``):
     Delete moves the *last* entry into the deleted slot, so iteration order
     after deletions matches the reference exactly — RFA sweep determinism
     depends on this.
+
+    Implemented as a dict subclass (Python dicts are insertion-ordered and
+    overwrite-in-place, matching Set) so the hot operations — get, ``in``,
+    len, set — run at C speed; only delete(), with a single optimizer call
+    site, pays an O(n) rebuild to replicate the swap order.
     """
 
-    __slots__ = ("_index", "_keys", "_vals")
-
-    def __init__(self):
-        self._index: Dict[int, int] = {}
-        self._keys: List[int] = []
-        self._vals: List = []
-
-    def get(self, key: int):
-        i = self._index.get(key)
-        return None if i is None else self._vals[i]
+    __slots__ = ()
 
     def set(self, key: int, val) -> None:
-        i = self._index.get(key)
-        if i is not None:
-            self._vals[i] = val
-        else:
-            self._index[key] = len(self._vals)
-            self._keys.append(key)
-            self._vals.append(val)
+        self[key] = val
 
     def delete(self, key: int) -> None:
-        i = self._index.get(key)
-        if i is None:
+        if key not in self:
             return
-        last = len(self._vals) - 1
-        if last > 0:
-            self._vals[i] = self._vals[last]
-            self._index[self._keys[last]] = i
-            self._keys[i] = self._keys[last]
-        self._vals.pop()
-        self._keys.pop()
-        del self._index[key]
-
-    def __len__(self) -> int:
-        return len(self._keys)
+        items = list(dict.items(self))
+        last = items[-1]
+        if last[0] != key:
+            for i, kv in enumerate(items):
+                if kv[0] == key:
+                    items[i] = last
+                    break
+        items.pop()
+        dict.clear(self)
+        dict.update(self, items)
 
     def values(self) -> List:
-        return list(self._vals)
+        return list(dict.values(self))
 
     def keys(self) -> List[int]:
-        return list(self._keys)
-
-    def __contains__(self, key: int) -> bool:
-        return key in self._index
+        return list(dict.keys(self))
 
 
 @dataclasses.dataclass(slots=True)
