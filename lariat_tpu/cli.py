@@ -235,17 +235,29 @@ def run(argv=None):
                     raise
                 print(f"device priming unavailable ({e}); host-only workers")
 
+        feed_stats = {"primed_pairs": 0, "host_pairs": 0}
+
         def primed_iter():
+            """Tagged work feed: yields (seq, work), possibly out of reader
+            order (the main loop reorders results by seq before writing).
+
+            Hybrid routing (the device can only ADD throughput, never gate
+            it): barcode groups batch up to ~4k pairs; a batch goes to a
+            device priming thread when one is free, and straight to the
+            host workers (who run the native DP themselves) when priming
+            is saturated. Workers therefore never idle behind a slow
+            device wave — over a high-latency TPU tunnel the device
+            contributes whatever fraction it can keep up with, and on
+            well-attached hardware it absorbs essentially all DP."""
+            import itertools
+            seq = itertools.count()
             if device_engine is None:
-                yield from work_iter()
+                for item in work_iter():
+                    yield (next(seq), item)
                 return
             from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
-            # priming threads pipeline independent groups: one group's
-            # host stages (seeding, session control, packing) overlap the
-            # other's device waves. Yield order stays reader order, so the
-            # BAM output is byte-identical to the host-native run.
             n_prime = max(1, int(os.environ.get("LARIAT_PRIME_THREADS",
                                                 "2")))
             ex = ThreadPoolExecutor(max_workers=n_prime,
@@ -255,44 +267,68 @@ def run(argv=None):
                 # through the host path meanwhile (tests / short runs that
                 # must exercise the primed path end to end)
                 device_engine.wait_warmup()
+
+            def prime_tagged(tagged):
+                primed = _prime_group(device_engine,
+                                      [it for _, it in tagged], config)
+                return [(s, p) for (s, _), p in zip(tagged, primed)]
+
             futs = deque()
+
+            def drain(block: bool):
+                while futs and (block or futs[0].done()):
+                    for t in futs.popleft().result():
+                        feed_stats["primed_pairs"] += len(t[1][0])
+                        yield t
             try:
                 buf = []
                 pending = 0
                 for item in work_iter():
+                    t = (next(seq), item)
                     # while the tunnel's first-transfer warmup stall is in
                     # flight, keep workers fed through the host path instead
                     # of blocking the whole pipeline on the device
                     if device_engine._warmup is not None:
                         if device_engine._warmup.is_alive():
-                            yield item
+                            feed_stats["host_pairs"] += len(item[0])
+                            yield t
                             continue
                         device_engine.wait_warmup()
-                    buf.append(item)
+                    buf.append(t)
                     pending += len(item[0])
                     if pending >= 4096:
-                        futs.append(ex.submit(_prime_group, device_engine,
-                                              buf, config))
+                        if sum(1 for f in futs
+                               if not f.done()) >= n_prime:
+                            # priming saturated: host route, immediately
+                            for s, it in buf:
+                                feed_stats["host_pairs"] += len(it[0])
+                                yield (s, it)
+                        else:
+                            futs.append(ex.submit(prime_tagged, buf))
                         buf = []
                         pending = 0
-                        while len(futs) >= n_prime:
-                            yield from futs.popleft().result()
+                        yield from drain(block=False)
                 if buf:
-                    futs.append(ex.submit(_prime_group, device_engine, buf,
-                                          config))
-                while futs:
-                    yield from futs.popleft().result()
+                    futs.append(ex.submit(prime_tagged, buf))
+                yield from drain(block=True)
             finally:
                 ex.shutdown(wait=False)
 
-        for packed in runner.imap(primed_iter()):
-            write_packed(bams, packed)
-            n_pairs += packed.n_reads
-            n_bcs += 1
-            stats.total += packed.stats[0]
-            stats.correct += packed.stats[1]
-            stats.total_mapq10 += packed.stats[2]
-            stats.correct_mapq10 += packed.stats[3]
+        reorder = {}
+        next_seq = 0
+        for seq_i, packed in runner.imap_seq(primed_iter()):
+            reorder[seq_i] = packed
+            while next_seq in reorder:
+                packed = reorder.pop(next_seq)
+                next_seq += 1
+                write_packed(bams, packed)
+                n_pairs += packed.n_reads
+                n_bcs += 1
+                stats.total += packed.stats[0]
+                stats.correct += packed.stats[1]
+                stats.total_mapq10 += packed.stats[2]
+                stats.correct_mapq10 += packed.stats[3]
+        assert not reorder, "reorder buffer not drained"
         runner.close()
         if device_engine is not None:
             w = device_engine._warmup
@@ -329,7 +365,9 @@ def run(argv=None):
     if args.threads > 1 and device_engine is not None:
         ws = device_engine.wave_stats
         print(f"device waves: {ws['n']}  wave wall {ws['wall']:.1f}s  "
-              f"busy fraction {min(ws['wall'] / max(dt, 1e-9), 1.0):.2f}")
+              f"busy fraction {min(ws['wall'] / max(dt, 1e-9), 1.0):.2f}  "
+              f"primed pairs {feed_stats['primed_pairs']}  "
+              f"host pairs {feed_stats['host_pairs']}")
     print(f"Processed {n_pairs} read pairs across {n_bcs} barcodes "
           f"in {dt:.1f}s ({n_pairs / max(dt, 1e-9):.1f} pairs/s)")
     if args.simulated and stats.total:

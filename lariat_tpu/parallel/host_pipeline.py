@@ -97,6 +97,11 @@ def _run_one(work) -> PackedBarcode:
                stats.correct_mapq10))
 
 
+def _run_one_seq(tagged) -> Tuple[int, PackedBarcode]:
+    seq, work = tagged
+    return seq, _run_one(work)
+
+
 class ParallelRunner:
     """Ordered fan-out of barcode sets over a fork pool."""
 
@@ -115,6 +120,15 @@ class ParallelRunner:
     def imap(self, work_iter, chunksize: int = 1):
         """Yield PackedBarcode results in input order."""
         return self.pool.imap(_run_one, work_iter, chunksize)
+
+    def imap_seq(self, tagged_iter, chunksize: int = 1):
+        """Yield (seq, PackedBarcode) for (seq, work) inputs.
+
+        Results come back in *submission* order; the caller reorders by
+        ``seq`` before writing so the hybrid device/host feed (cli.py
+        primed_iter, which yields host-routed work ahead of in-flight
+        device-primed work) still produces byte-identical output."""
+        return self.pool.imap(_run_one_seq, tagged_iter, chunksize)
 
     def close(self) -> None:
         self.pool.close()
