@@ -39,6 +39,20 @@ from .extension import MAX_BAND_TRY, AlnReg, cal_max_gap
 
 MAX_EXT_LEN = 1 << 30
 
+import os as _os
+
+# LARIAT_WAVE_TRACE=1 prints one line per device wave with the time split
+# (host build / dispatch / download) and transfer sizes — the tunnel link is
+# the usual bottleneck and this is how we see which side of it we're on.
+WAVE_TRACE = _os.environ.get("LARIAT_WAVE_TRACE") == "1"
+
+
+def _wtrace(kind: str, shape, t_build: float, t_disp: float, t_dl: float,
+            up_b: int, dn_b: int) -> None:
+    print(f"[wtrace] {kind:5s} {str(shape):18s} build {t_build*1e3:6.0f}ms "
+          f"disp {t_disp*1e3:6.0f}ms dl {t_dl*1e3:6.0f}ms "
+          f"up {up_b/1e6:7.2f}MB dn {dn_b/1e6:6.2f}MB", flush=True)
+
 
 def _start_transfer_warmup():
     """First device->host transfer in a process can stall for minutes while
@@ -384,7 +398,15 @@ class BatchAlignmentEngine(AlignmentEngine):
                 else:
                     res = sw_batch.extend_batch(q, qlen, t, tlen, mat, w, h0,
                                                 packed=True, **kw)
+                t_disp = time.time()
                 rows = np.asarray(res)   # ONE transfer per wave: (6+, B)
+                if WAVE_TRACE:
+                    _wtrace("ext", (len(qlen), q.shape[1], t.shape[1]),
+                            t_dev - t_wave, t_disp - t_dev,
+                            time.time() - t_disp,
+                            sum(np.asarray(a).nbytes
+                                for a in (q, t, qlen, tlen, h0, w)),
+                            rows.nbytes)
                 self.wave_stats["wall"] += time.time() - t_dev
                 self.wave_stats["n"] += 1
                 sess.feed(rows[0], rows[1], rows[2], rows[3], rows[4],
@@ -649,14 +671,17 @@ class BatchAlignmentEngine(AlignmentEngine):
         tp = self._tier_plan(max((len(rev) for rev, _ in tasks), default=64))
         t_dev = time.time()
         out = local_align_batch(
-            [(rev.astype(np.int64), ref.astype(np.int64))
-             for rev, ref in tasks],
+            tasks,
             self.mat, opt.gap_open_del, opt.gap_extend_del,
             opt.gap_open_ins, opt.gap_extend_ins,
             opt.min_seed_len * opt.match_score,
             backend="pallas" if self.use_pallas else "xla",
             q_tiers=tp["loc_q"], t_tiers=tp["loc_t"],
             shard_fn=self._shard_wave if self.mesh is not None else None)
+        if WAVE_TRACE:
+            up = sum(len(rev) + len(ref) for rev, ref in tasks)
+            _wtrace("loc", (len(tasks),), 0.0, time.time() - t_dev, 0.0,
+                    up, 0)
         self.wave_stats["wall"] += time.time() - t_dev
         self.wave_stats["n"] += 1
         return out
@@ -817,20 +842,30 @@ class BatchAlignmentEngine(AlignmentEngine):
             pad = getattr(self, "r2a_wave_pad", self.R2ALN_CHUNK)
             if pad:
                 tiers["pad_b"] = lambda n: max(pad, _pow2_bucket(n))
+        t_fill = time.time()
         q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
         q, qlen, t, tlen, wv = self._shard_wave(q, qlen, t, tlen, wv)
         kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                   o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
         if self.use_pallas:
             from ..ops import sw_global_pallas
-            res = sw_global_pallas.global_batch_pallas_packed(
+            t_call = time.time()
+            # unpacked z + absolute-column walk: the band-pack gather cost
+            # ~10x the DP kernel and only shrank a download the on-device
+            # walk already removed
+            res = sw_global_pallas.global_batch_pallas(
                 q, qlen, t, tlen, mat, wv, match_sc=opt.match_score,
                 mismatch_sc=-opt.mismatch_penalty, **kw)
             S = q.shape[1] + t.shape[1]
             # one fused download per wave: packed ops + score + cursors
             # in a single uint8 buffer (4 ops/byte)
             blob = sw_global_pallas.traceback_ops_fused(
-                res.z, qlen, tlen, wv, res.score, S=S)
+                res.z, qlen, tlen, wv, res.score, S=S, packed_layout=False)
+            if WAVE_TRACE:
+                _wtrace("r2a.d", (len(qlen), q.shape[1], t.shape[1]),
+                        t_call - t_fill, time.time() - t_call, 0.0,
+                        sum(np.asarray(a).nbytes
+                            for a in (q, t, qlen, tlen, wv)), 0)
             return ("pallas", blob, S, res, qlen, tlen, wv)
         from ..ops import sw_global_batch
         n_col = min(q.shape[1], 2 * (opt.band_width << 2) + 1)
@@ -844,7 +879,11 @@ class BatchAlignmentEngine(AlignmentEngine):
         if handle[0] == "pallas":
             from ..ops import sw_global_pallas
             _, blob_h, S, res, qlen, tlen, wv = handle
+            t_dl = time.time()
             blob = np.asarray(blob_h)
+            if WAVE_TRACE:
+                _wtrace("r2a.f", (len(qlen),), 0.0, 0.0,
+                        time.time() - t_dl, 0, blob.nbytes)
             packed, score, i_fin, k_fin = (
                 sw_global_pallas.split_traceback_blob(blob, S))
             raw = sw_global_pallas.cigars_from_ops_packed(
@@ -852,7 +891,7 @@ class BatchAlignmentEngine(AlignmentEngine):
             if raw is None:  # native lib without the packed finisher
                 ops_buf, i_fin, k_fin = (
                     sw_global_pallas.traceback_ops_device(
-                        res.z, qlen, tlen, wv, S=S))
+                        res.z, qlen, tlen, wv, S=S, packed_layout=False))
                 raw = sw_global_pallas.cigars_from_ops_raw(
                     np.asarray(ops_buf), np.asarray(i_fin),
                     np.asarray(k_fin))
@@ -1009,7 +1048,7 @@ class BatchAlignmentEngine(AlignmentEngine):
                     wv[i] = g.w2
                 if self.use_pallas:
                     from ..ops import sw_global_pallas
-                    res = sw_global_pallas.global_batch_pallas_packed(
+                    res = sw_global_pallas.global_batch_pallas(
                         qa, qlen, ta, tlen, np.asarray(self.mat), wv,
                         o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                         o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
@@ -1019,7 +1058,8 @@ class BatchAlignmentEngine(AlignmentEngine):
                     # (B, Lt+Lq bytes) is downloaded, never the z matrices
                     ops_buf, i_fin, k_fin = (
                         sw_global_pallas.traceback_ops_device(
-                            res.z, qlen, tlen, wv, S=Lq + Lt))
+                            res.z, qlen, tlen, wv, S=Lq + Lt,
+                            packed_layout=False))
                     scores = np.asarray(res.score)
                     cigars = sw_global_pallas.cigars_from_ops(
                         np.asarray(ops_buf), np.asarray(i_fin),

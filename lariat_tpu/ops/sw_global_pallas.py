@@ -213,10 +213,10 @@ def global_batch_pallas_packed(query, qlen, target, tlen, mat, w, **kw
     return GlobalPallasPacked(score=res.score, z=zp, beg=beg)
 
 
-@functools.partial(jax.jit, static_argnames=("S", "pack"))
+@functools.partial(jax.jit, static_argnames=("S", "pack", "packed_layout"))
 def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
                          tlen: jnp.ndarray, w: jnp.ndarray, S: int,
-                         pack: bool = False):
+                         pack: bool = False, packed_layout: bool = True):
     """Walk the band-packed direction bytes ON DEVICE for a whole batch.
 
     The walk is the exact ksw_global2 backtrack (same bit reads as the host
@@ -225,6 +225,12 @@ def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
     ~Lq/2 bytes per task instead of the full z matrix. Ops are emitted in
     walk (reverse-alignment) order; 255 marks end-of-walk. S must be >=
     Lt + Lq (a step consumes at least one of i/k).
+
+    ``packed_layout=False`` walks an UNPACKED (B, Lt, Lq) z directly
+    (column index = absolute query position). Skipping the band pack
+    matters: the take_along_axis band gather costs ~10x the DP kernel on
+    TPU, and the pack only ever existed to shrink a host download that the
+    on-device walk already eliminated.
     """
     B, Lt, n_col = zp.shape
     zflat = zp.reshape(B, Lt * n_col).astype(jnp.int32)
@@ -237,7 +243,8 @@ def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
     def step(s, carry):
         i, k, which, buf = carry
         active = (i >= 0) & (k >= 0)
-        beg = jnp.maximum(i - w, 0)
+        beg = (jnp.maximum(i - w, 0) if packed_layout
+               else jnp.zeros_like(i))
         col = jnp.clip(k - beg, 0, n_col - 1)
         row = jnp.clip(i, 0, Lt - 1)
         d = jnp.take_along_axis(zflat, (row * n_col + col)[:, None],
@@ -268,16 +275,18 @@ def traceback_ops_device(zp: jnp.ndarray, qlen: jnp.ndarray,
     return buf, i, k
 
 
-@functools.partial(jax.jit, static_argnames=("S",))
+@functools.partial(jax.jit, static_argnames=("S", "packed_layout"))
 def traceback_ops_fused(zp: jnp.ndarray, qlen: jnp.ndarray, tlen: jnp.ndarray,
-                        w: jnp.ndarray, score: jnp.ndarray, S: int):
+                        w: jnp.ndarray, score: jnp.ndarray, S: int,
+                        packed_layout: bool = True):
     """Device traceback + bit-pack + single-buffer marshalling.
 
     Returns ONE (B, S//4 + 12) uint8 array: the packed op stream followed by
     score, i_fin, k_fin as little-endian int32 bytes — so a whole reg2aln
     wave costs exactly one device->host transfer (the transfer count, not
     the DP, dominates wave latency over remote tunnels)."""
-    packed, i, k = traceback_ops_device(zp, qlen, tlen, w, S=S, pack=True)
+    packed, i, k = traceback_ops_device(zp, qlen, tlen, w, S=S, pack=True,
+                                        packed_layout=packed_layout)
 
     def b32(x):
         v = x.astype(jnp.int32)[:, None]
