@@ -121,6 +121,32 @@ def run(argv=None):
         from .rfa import debug as rfa_debug
         rfa_debug.PRINT_MOVE = rfa_debug.PRINT_MOVE or args.debugPrintMove
         rfa_debug.DEBUG = rfa_debug.DEBUG or args.debug
+    # kick the device backend init + first-transfer warmup NOW so it overlaps
+    # the (tens of seconds at hg38 scale) genome load — otherwise short runs
+    # finish before the tunnel warms up and prime zero pairs. Safe pre-fork:
+    # workers never touch jax (tensor RFA's jit twin is opt-in via
+    # LARIAT_RFA_JIT, which is a cpu-pinned/testing mode).
+    early_box: dict = {}
+    early_warm = None
+    if args.threads > 1 and args.use_device != "off":
+        plat = os.environ.get("JAX_PLATFORMS", "")
+        if not (plat and set(plat.split(",")) <= {"cpu"}):
+            import threading
+
+            def _early_probe():
+                try:
+                    import jax
+                    early_box["backend"] = jax.default_backend()
+                    if early_box["backend"] != "cpu":
+                        import jax.numpy as jnp
+                        import numpy as _np
+                        _np.asarray(jnp.zeros(16, jnp.int32))
+                        early_box["warm"] = True
+                except Exception as e:  # noqa: BLE001
+                    early_box["err"] = e
+            early_warm = threading.Thread(target=_early_probe, daemon=True,
+                                          name="lariat-early-warmup")
+            early_warm.start()
     print(f"Starting lariat_tpu. Version: {__version__}")
     print(f"Loading reference genome: {args.genome}")
     fm = load_reference(args.genome, args.index)
@@ -203,30 +229,24 @@ def run(argv=None):
                     print("device priming on cpu (pinned)")
                 else:
                     # backend init over a remote tunnel can block
-                    # INDEFINITELY when the terminal is unreachable; probe
-                    # on a daemon thread with a hard timeout so a broken
-                    # tunnel degrades (auto) or fails fast (on) instead of
-                    # hanging the whole run
-                    import threading
-                    box = {}
-
-                    def _probe():
-                        try:
-                            box["backend"] = jax.default_backend()
-                        except Exception as e:  # noqa: BLE001
-                            box["err"] = e
-                    th = threading.Thread(target=_probe, daemon=True)
-                    th.start()
-                    th.join(timeout=float(os.environ.get(
-                        "LARIAT_DEVICE_PROBE_TIMEOUT", "180")))
-                    if th.is_alive():
-                        _SKIP_TEARDOWN = True
-                        raise RuntimeError(
-                            "device backend init timed out "
-                            "(tunnel unreachable)")
+                    # INDEFINITELY when the terminal is unreachable; the
+                    # early-warmup daemon thread (started before the genome
+                    # load) carries it — join with a hard timeout so a
+                    # broken tunnel degrades (auto) or fails fast (on)
+                    # instead of hanging the whole run
+                    box = early_box
+                    th = early_warm
+                    if th is not None:
+                        th.join(timeout=float(os.environ.get(
+                            "LARIAT_DEVICE_PROBE_TIMEOUT", "180")))
+                        if th.is_alive():
+                            _SKIP_TEARDOWN = True
+                            raise RuntimeError(
+                                "device backend init timed out "
+                                "(tunnel unreachable)")
                     if "err" in box:
                         raise box["err"]
-                    if args.use_device == "on" or box["backend"] != "cpu":
+                    if args.use_device == "on" or box.get("backend") != "cpu":
                         from .align.batch_engine import BatchAlignmentEngine
                         device_engine = BatchAlignmentEngine(fm)
                         print(f"device priming on {jax.devices()[0]}")
