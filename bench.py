@@ -34,8 +34,8 @@ import numpy as np
 
 BASELINE_PAIRS_PER_S = 10_000.0
 REPO = os.path.dirname(os.path.abspath(__file__))
-N_BARCODES = 160
-PAIRS_PER_BC = 50
+N_BARCODES = 320
+PAIRS_PER_BC = 100
 
 
 def _prepare_inputs(workdir: str) -> tuple[str, str, float]:
@@ -75,7 +75,9 @@ def _prepare_inputs(workdir: str) -> tuple[str, str, float]:
 _RATE_RE = re.compile(r"Processed (\d+) read pairs across (\d+) barcodes "
                       r"in ([0-9.]+)s \(([0-9.]+) pairs/s\)")
 _BUSY_RE = re.compile(r"device waves: (\d+)\s+wave wall ([0-9.]+)s\s+"
-                      r"busy fraction ([0-9.]+)")
+                      r"busy fraction ([0-9.]+)(?:\s+primed pairs (\d+)\s+"
+                      r"host pairs (\d+))?")
+_TIE_RE = re.compile(r"tie-sensitive picks: (\d+)/(\d+) \(([0-9.]+)\)")
 
 
 def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
@@ -102,6 +104,13 @@ def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
         out["device_waves"] = int(b.group(1))
         out["device_wave_wall_s"] = float(b.group(2))
         out["device_busy_frac"] = float(b.group(3))
+        if b.group(4) is not None:
+            out["primed_pairs"] = int(b.group(4))
+            out["host_pairs"] = int(b.group(5))
+    tie = _TIE_RE.search(proc.stdout)
+    if tie:
+        out["tie_sensitive_rate"] = float(tie.group(3))
+        out["tie_sensitive_picks"] = [int(tie.group(1)), int(tie.group(2))]
     return out
 
 
@@ -155,7 +164,30 @@ def _hg38_runs(workdir: str, have_device: bool) -> dict:
         reads = os.path.join(HG38_DIR, "sim10k.fastq.gz")
     cents = os.path.join(HG38_DIR, "hg38sim.centromeres.tsv")
     if not os.path.isdir(fa + ".lariat.d") or not os.path.exists(reads):
-        return {}
+        # the hg38-scale inputs are gitignored (too big to track) and a
+        # workspace reset wipes them; REGENERATE rather than silently
+        # benching the toy genome (VERDICT r4 item 1). ~90 min, ~124 GB
+        # peak RSS. Opt out with LARIAT_BENCH_NO_GEN=1 (keeps the loud
+        # skip marker).
+        if os.environ.get("LARIAT_BENCH_NO_GEN"):
+            return {"hg38_skipped": "data_big/ missing and "
+                                    "LARIAT_BENCH_NO_GEN=1"}
+        print("data_big/ missing; regenerating (~90 min)...",
+              file=sys.stderr, flush=True)
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools/gen_data_big.py")],
+                check=True, cwd=REPO, stdout=sys.stderr,
+                timeout=float(os.environ.get("LARIAT_BENCH_GEN_TIMEOUT",
+                                             "10800")))
+        except Exception as e:  # noqa: BLE001
+            return {"hg38_skipped": f"data_big regeneration failed: "
+                                    f"{str(e)[:200]}"}
+        if not os.path.exists(reads):
+            reads = os.path.join(HG38_DIR, "sim10k.fastq.gz")
+        if not os.path.isdir(fa + ".lariat.d") or not os.path.exists(reads):
+            return {"hg38_skipped": "regeneration completed but inputs "
+                                    "still absent"}
     out = {}
     extra = ("-centromeres", cents) if os.path.exists(cents) else ()
     out["device_available"] = have_device
@@ -229,15 +261,56 @@ def _device_step_detail(fa: str) -> dict:
     }
 
 
+def _record_diff_rate(dir_a: str, dir_b: str) -> dict:
+    """Record-level BAM diff between two CLI output dirs (VERDICT r4 item
+    7): fraction of bc-sorted records whose packed bytes differ. The
+    device-primed and host-native paths are asserted bit-identical by
+    tests; this keeps that claim measured in every BENCH artifact."""
+    import struct
+
+    from lariat_tpu.io.bamread import BamFile
+
+    def recs(d):
+        bf = BamFile(os.path.join(d, "bc_sorted_bam.bam"))
+        out, off, data = [], bf._records_start, bf.data
+        while off < len(data):
+            n = struct.unpack_from("<I", data, off)[0]
+            out.append(data[off + 4:off + 4 + n])
+            off += 4 + n
+        return out
+
+    a, b = recs(dir_a), recs(dir_b)
+    n = max(len(a), len(b))
+    if n == 0:
+        return {"sam_diff_rate": 0.0, "records": 0}
+    diff = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))
+    return {"sam_diff_rate": round(diff / n, 6), "records": n}
+
+
 def main() -> None:
     sys.path.insert(0, REPO)
     workdir = tempfile.mkdtemp(prefix="lariat_bench_")
     fa, reads, t_index = _prepare_inputs(workdir)
 
     have_device = _device_available()
-    host = _run_cli(fa, reads, os.path.join(workdir, "out_host"), "off")
-    dev = (_run_cli(fa, reads, os.path.join(workdir, "out_dev"), "on")
-           if have_device else {"error": "device unavailable"})
+    # median of 3 warm runs per mode (run 0 = warmup) — r4's 3.7x
+    # no-change swings came from single 0.8 s runs (VERDICT r4 item 5)
+    host_runs, dev_runs = [], []
+    for i in range(4):
+        host_runs.append(_run_cli(fa, reads,
+                                  os.path.join(workdir, f"out_host{i}"),
+                                  "off"))
+    host = _median_of(host_runs[1:])
+    host["runs"] = [r.get("pairs_s", 0.0) for r in host_runs]
+    if have_device:
+        for i in range(4):
+            dev_runs.append(_run_cli(fa, reads,
+                                     os.path.join(workdir, f"out_dev{i}"),
+                                     "on"))
+        dev = _median_of(dev_runs[1:])
+        dev["runs"] = [r.get("pairs_s", 0.0) for r in dev_runs]
+    else:
+        dev = {"error": "device unavailable"}
 
     candidates = {"cli_host_native_5w": host, "cli_device_primed_5w": dev}
     best_name, best = max(
@@ -251,6 +324,14 @@ def main() -> None:
         "index_build_s": round(t_index, 1),
         **{k: v for k, v in candidates.items()},
     }
+    # record-level device-vs-host parity on the last pair of runs
+    if have_device and "pairs_s" in dev:
+        try:
+            detail["device_vs_host_diff"] = _record_diff_rate(
+                os.path.join(workdir, "out_host3"),
+                os.path.join(workdir, "out_dev3"))
+        except Exception as e:  # noqa: BLE001
+            detail["device_vs_host_diff"] = {"error": str(e)[:200]}
     hg38 = _hg38_runs(workdir, have_device)
     detail.update(hg38)
     # per-kernel %SOL roofline (separate process: one tunnel client at a
@@ -294,9 +375,14 @@ def main() -> None:
                   "barcoded 10X reads)")
         detail["small_genome_pairs_s"] = best["pairs_s"] if best else 0.0
     else:
+        # primary regime unavailable: say so LOUDLY in the metric string
+        # (never report the toy number as if it were the hg38 number)
+        reason = hg38.get("hg38_skipped", "hg38 runs produced no rate")
+        detail.setdefault("hg38_skipped", reason)
         value = best["pairs_s"] if best else 0.0
-        metric = ("read pairs aligned/sec/chip (full CLI pipeline: "
-                  "FASTQ->candidates->rescue->RFA->BAM, barcoded 10X reads)")
+        metric = ("read pairs aligned/sec/chip (full CLI pipeline, 4.6Mb "
+                  "TOY genome — hg38 regime SKIPPED: " + str(reason)[:120]
+                  + ")")
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),

@@ -348,6 +348,9 @@ def run(argv=None):
                 stats.correct += packed.stats[1]
                 stats.total_mapq10 += packed.stats[2]
                 stats.correct_mapq10 += packed.stats[3]
+                if len(packed.stats) >= 6:
+                    stats.picks += packed.stats[4]
+                    stats.tie_picks += packed.stats[5]
         assert not reorder, "reorder buffer not drained"
         runner.close()
         if device_engine is not None:
@@ -390,6 +393,9 @@ def run(argv=None):
               f"host pairs {feed_stats['host_pairs']}")
     print(f"Processed {n_pairs} read pairs across {n_bcs} barcodes "
           f"in {dt:.1f}s ({n_pairs / max(dt, 1e-9):.1f} pairs/s)")
+    if stats.picks:
+        print(f"tie-sensitive picks: {stats.tie_picks}/{stats.picks} "
+              f"({stats.tie_picks / stats.picks:.4f})")
     if args.simulated and stats.total:
         print(f"simulated: total={stats.total} correct={stats.correct} "
               f"mapq10 total={stats.total_mapq10} correct={stats.correct_mapq10}")

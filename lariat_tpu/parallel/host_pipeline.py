@@ -46,7 +46,7 @@ class PackedBarcode:
     bc_sorted: bytes                       # concatenated record bytes
     buckets: List[Tuple[str, int, bytes]]  # (contig|'unmapped', chunk, blob)
     n_reads: int
-    stats: Tuple[int, int, int, int]
+    stats: Tuple[int, int, int, int, int, int]
 
 
 def _init_worker() -> None:
@@ -94,7 +94,7 @@ def _run_one(work) -> PackedBarcode:
                  for (c, i), parts in by_bucket.items()],
         n_reads=len(reads),
         stats=(stats.total, stats.correct, stats.total_mapq10,
-               stats.correct_mapq10))
+               stats.correct_mapq10, stats.picks, stats.tie_picks))
 
 
 def _run_one_seq(tagged) -> Tuple[int, PackedBarcode]:

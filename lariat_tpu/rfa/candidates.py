@@ -384,11 +384,17 @@ def get_alignments(engine: AlignmentEngine, barcode_chains: List[List[ChainedHit
 
 
 def tag_best_alignments(alignments: List[List[Alignment]],
-                        improper_pair_penalty: float
-                        ) -> List[List[Alignment]]:
+                        improper_pair_penalty: float,
+                        stats=None) -> List[List[Alignment]]:
     """tagBestAlignments: md5-seeded noisy initial pick + position buckets.
 
     Returns per-contig position-sorted alignment lists.
+
+    When ``stats`` (RFAStats) is given, counts tie-sensitive picks: reads
+    whose top-2 noiseless pair totals differ by < 0.5 — the only reads
+    where a different tie-break RNG stream (the Go rngCooked divergence,
+    docs/PARITY.md) could change the initial pick. The rate is the tracked
+    SAM-parity bound (VERDICT r4 item 7).
     """
     positions: List[List[Alignment]] = []
     contigs = {}
@@ -434,13 +440,19 @@ def tag_best_alignments(alignments: List[List[Alignment]],
             if n_m:
                 tot = pair_total_matrix(arr, mates, improper_pair_penalty,
                                         0.0)
+                base = tot.ravel()
                 flat = (tot + dr.reshape(n_a, n_m)).ravel()
             else:
-                flat = np.array([float(a.score) for a in arr]) + dr
+                base = np.array([float(a.score) for a in arr])
+                flat = base + dr
             ki = int(np.argmax(flat))
             best_score = float(flat[ki])
             best_alignment = arr[ki // n_m] if n_m else arr[ki]
             best_mate = mates[ki % n_m] if n_m else None
+            if stats is not None and not was_touched and base.size > 1:
+                top2 = np.partition(base, base.size - 2)[-2:]
+                stats.picks += 1
+                stats.tie_picks += int(top2[1] - top2[0] < 0.5)
             for aln in arr:
                 if read_id != aln.read_id:
                     raise RuntimeError("read id mismatch")
@@ -451,20 +463,30 @@ def tag_best_alignments(alignments: List[List[Alignment]],
                     contigs[aln.contig] = len(positions)
                     positions.append([aln])
         else:
+            nl1 = nl2 = -float("inf")   # top-2 noiseless totals (tie rate)
             for aln in arr:
                 if read_id != aln.read_id:
                     raise RuntimeError("read id mismatch")
                 mates = alignments[aln.mate_id]
                 for mate in mates:
-                    total = (score_alignment(aln, mate, 0.0,
-                                             improper_pair_penalty)
-                             + random.float64() / 2.0)
+                    base = score_alignment(aln, mate, 0.0,
+                                           improper_pair_penalty)
+                    total = base + random.float64() / 2.0
+                    if base > nl1:
+                        nl1, nl2 = base, nl1
+                    elif base > nl2:
+                        nl2 = base
                     if total > best_score:
                         best_score = total
                         best_alignment = aln
                         best_mate = mate
                 if not mates:
-                    sc = float(aln.score) + random.float64() / 2.0
+                    base = float(aln.score)
+                    sc = base + random.float64() / 2.0
+                    if base > nl1:
+                        nl1, nl2 = base, nl1
+                    elif base > nl2:
+                        nl2 = base
                     if sc > best_score:
                         best_score = sc
                         best_alignment = aln
@@ -474,6 +496,9 @@ def tag_best_alignments(alignments: List[List[Alignment]],
                 else:
                     contigs[aln.contig] = len(positions)
                     positions.append([aln])
+            if stats is not None and not was_touched and arr:
+                stats.picks += 1
+                stats.tie_picks += int(nl1 - nl2 < 0.5)
         if not was_touched and best_alignment is not None:
             best_alignment.active = True
             best_alignment.bwa_pick = True

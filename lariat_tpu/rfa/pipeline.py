@@ -24,6 +24,11 @@ class RFAStats:
     correct: int = 0
     correct_mapq10: int = 0
     total_mapq10: int = 0
+    # SAM-parity tracking (VERDICT r4 item 7): initial picks applied, and
+    # how many were tie-sensitive (top-2 noiseless totals < 0.5 apart — the
+    # only picks a different tie-break RNG stream could change)
+    picks: int = 0
+    tie_picks: int = 0
 
 
 @dataclasses.dataclass
@@ -82,7 +87,7 @@ def process_barcode(engine: AlignmentEngine, reads: List[FastQRecord],
                                  primed_regions)
     alignments, stashed = get_alignments(engine, chains,
                                          config.alignment_score_delta, ipp)
-    positions = tag_best_alignments(alignments, -17)
+    positions = tag_best_alignments(alignments, -17, stats=stats)
 
     if not worth:
         estimate_map_qualities(alignments, None, ipp, ipp, centromeres)
