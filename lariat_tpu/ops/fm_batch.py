@@ -122,6 +122,71 @@ def occ4_batch(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def occ4_fused_batch(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """occ4 with a SINGLE fused-row gather (checkpoint + words in one row).
+
+    Same results as ``occ4_batch`` but touches one (12,) uint32 row per
+    lane instead of two separate arrays — the gather is the dominant cost
+    of every FM step on device, so halving the gather count matters more
+    than the extra uint32->dt converts.
+    """
+    dt = fmd.idx_dtype
+    k = k.astype(dt)
+    is_total = k == fmd.seq_len
+    is_neg = k < 0
+    kk = jnp.where(k >= fmd.primary, k - 1, k)
+    kk = jnp.clip(kk, 0, fmd.seq_len - 1)
+    blk = (kk + 1) // OCC_INTERVAL
+    rem = ((kk + 1) % OCC_INTERVAL).astype(jnp.int32)
+    row = fmd.fused[blk]                                 # (..., 12) uint32
+    base = row[..., :4].astype(dt)
+    words = row[..., 4:]
+    inblock = _block_counts(words, rem).astype(dt)
+    out = base + inblock
+    total = fmd.L2[1:5] - fmd.L2[0:4]
+    out = jnp.where(is_total[..., None], total, out)
+    out = jnp.where(is_neg[..., None], 0, out)
+    return out
+
+
+def bwt_extend_dir_batch(fmd: DeviceFMIndex, x0: jnp.ndarray,
+                         x1: jnp.ndarray, s: jnp.ndarray, c: jnp.ndarray,
+                         is_back: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-lane-direction bidirectional extension by a known code.
+
+    c: (...,) codes 0..3 (the base being appended/prepended as READ text —
+    the forward side extends by the complement internally, matching
+    ``bwt_extend_batch(is_back=False)[3 - c]``). is_back: (...,) bool.
+    Returns the extended (x0, x1, s) per lane. Two fused occ4 gathers.
+    """
+    dt = fmd.idx_dtype
+    s = s.astype(dt)
+    qpos = jnp.where(is_back, x0, x1).astype(dt)
+    other_base = jnp.where(is_back, x1, x0).astype(dt)
+    ce = jnp.where(is_back, c, 3 - c).astype(jnp.int32)
+    tk = occ4_fused_batch(fmd, qpos - 1)
+    tl = occ4_fused_batch(fmd, qpos - 1 + s)
+    sizes = tl - tk
+    starts = fmd.L2[:4][None, :] + 1 + tk
+    crosses = ((qpos <= fmd.primary)
+               & (qpos + s - 1 >= fmd.primary)).astype(dt)
+    # other-side start for code ce: other_base + crosses + sum of sizes of
+    # codes > ce (codes enumerated 3,2,1,0 in the cumulative chain)
+    o3 = other_base + crosses
+    o2 = o3 + sizes[..., 3]
+    o1 = o2 + sizes[..., 2]
+    o0 = o1 + sizes[..., 1]
+    other = jnp.stack([o0, o1, o2, o3], axis=-1)
+    cix = ce[..., None]
+    st = jnp.take_along_axis(starts, cix, axis=-1)[..., 0]
+    ot = jnp.take_along_axis(other, cix, axis=-1)[..., 0]
+    ns = jnp.take_along_axis(sizes, cix, axis=-1)[..., 0]
+    nx0 = jnp.where(is_back, st, ot)
+    nx1 = jnp.where(is_back, ot, st)
+    return nx0, nx1, ns
+
+
 def occ1_batch(fmd: DeviceFMIndex, k: jnp.ndarray, c: jnp.ndarray
                ) -> jnp.ndarray:
     """Batched occ for a single code per lane (cheaper than occ4).

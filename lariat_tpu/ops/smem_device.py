@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .fm_batch import DeviceFMIndex, bwt_extend_batch
+from .fm_batch import (DeviceFMIndex, bwt_extend_batch,
+                       bwt_extend_dir_batch)
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
@@ -91,6 +92,192 @@ def min_starts_kernel(fmd: DeviceFMIndex, reads: jnp.ndarray,
     x0, x1, s, b, _ = jax.lax.fori_loop(
         0, L - 1, step, (x0, x1, s, jnp.where(valid, b, e), valid))
     return b, x0, x1, s, valid
+
+
+@functools.partial(jax.jit, static_argnames=("L", "max_steps", "bwd_init"))
+def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
+                      start_e: jnp.ndarray, end_e: jnp.ndarray,
+                      min_intv: jnp.ndarray, L: int,
+                      max_steps: int = 0, bwd_init: bool = False):
+    """Two-pointer minimal-starts machine: same per-end function as
+    ``min_starts_kernel`` but with O(total match length) extensions per
+    lane instead of O(L) per (lane, e) pair — ~L x fewer rank queries.
+
+    Lanes are READS (or reseed requests), not (read, e) pairs. Per lane:
+    outputs b(e), x0(e), x1(e), s(e), valid(e) for every end position
+    e in (start_e, end_e], where b(e) is the greedy backward stop from e
+    under ``min_intv`` (identical to min_starts_kernel's definition).
+
+    Why incremental is exact: if [b(e), e+1) still has s >= min_intv then
+    the greedy backward scan from e+1 passes through every x in
+    (b(e), e+1) (substring monotonicity) and fails at b(e)-1 for the same
+    reason it failed for e (s is non-increasing under left extension), so
+    b(e+1) == b(e) and one FORWARD extension advances the machine. On
+    failure, b(e+1) is re-derived by a fresh greedy BACKWARD scan from
+    e+1, which by the same argument stops at some b' > b(e). Total rank
+    queries = forward accepts + backward scan lengths ~ O(match length).
+
+    Returns (b, x0, x1, s, valid, done_all): arrays (R, L) indexed by
+    e-1, plus a scalar "every lane finished within max_steps" flag
+    (callers fall back to the quadratic kernel on overflow — only
+    adversarial low-complexity reads can get near the cap).
+
+    Reference semantics: native/seed.cpp collect_intv round 1/2
+    (bwa mem_collect_intv); see smems_from_starts for the emission rule.
+    """
+    dt = fmd.idx_dtype
+    R = reads.shape[0]
+    if not max_steps:
+        max_steps = 8 * L
+    start_e = start_e.astype(jnp.int32)
+    end_e = end_e.astype(jnp.int32)
+    min_intv = jnp.maximum(min_intv.astype(dt), 1)
+    lane = jnp.arange(R, dtype=jnp.int32)
+
+    def base_at(pos):
+        # (R,) codes at q[lane, pos], 4 when out of range
+        inb = (pos >= 0) & (pos < L)
+        idx = jnp.clip(pos, 0, L - 1)
+        return jnp.where(
+            inb, jnp.take_along_axis(
+                reads, idx[:, None].astype(jnp.int32),
+                axis=1)[:, 0].astype(jnp.int32), 4)
+
+    def single_char(c):
+        cc = jnp.clip(c, 0, 3)
+        return (fmd.L2[cc] + 1, fmd.L2[3 - cc] + 1,
+                fmd.L2[cc + 1] - fmd.L2[cc])
+
+    zero_dt = jnp.zeros(R, dt)
+    if bwd_init:
+        # round-2 reseeds: there is no barrier at start_e, so b(start_e+1)
+        # must be derived by a fresh greedy backward scan from start_e+1.
+        # N at q[start_e] -> out[start_e+1] stays invalid (never written)
+        # and the machine resumes empty at e = start_e + 1.
+        c0 = jnp.take_along_axis(
+            reads, jnp.clip(start_e, 0, L - 1)[:, None].astype(jnp.int32),
+            axis=1)[:, 0].astype(jnp.int32)
+        is_n0 = c0 >= 4
+        cc0 = jnp.clip(c0, 0, 3)
+        state = dict(
+            e=jnp.where(is_n0, start_e + 1, start_e),
+            b=jnp.where(is_n0, start_e + 1, start_e),
+            x0=zero_dt + 1, x1=zero_dt + 1, s=zero_dt,
+            bwd=~is_n0, p=start_e, etgt=start_e + 1,
+            bx0=jnp.where(is_n0, 1, fmd.L2[cc0] + 1),
+            bx1=jnp.where(is_n0, 1, fmd.L2[3 - cc0] + 1),
+            bs=jnp.where(is_n0, 0, fmd.L2[cc0 + 1] - fmd.L2[cc0]),
+            ob=jnp.zeros((R, L), jnp.int32),
+            ox0=jnp.zeros((R, L), dt), ox1=jnp.zeros((R, L), dt),
+            os=jnp.zeros((R, L), dt),
+            oval=jnp.zeros((R, L), jnp.bool_),
+            steps=jnp.int32(0))
+    else:
+        state = dict(
+            e=start_e, b=start_e,
+            x0=zero_dt + 1, x1=zero_dt + 1, s=zero_dt,  # interval of [b, e)
+            bwd=jnp.zeros(R, jnp.bool_), p=jnp.zeros(R, jnp.int32),
+            etgt=jnp.zeros(R, jnp.int32),
+            # BWD scratch interval of [p, etgt)
+            bx0=zero_dt + 1, bx1=zero_dt + 1, bs=zero_dt,
+            ob=jnp.zeros((R, L), jnp.int32),
+            ox0=jnp.zeros((R, L), dt), ox1=jnp.zeros((R, L), dt),
+            os=jnp.zeros((R, L), dt),
+            oval=jnp.zeros((R, L), jnp.bool_),
+            steps=jnp.int32(0))
+
+    def cond(st):
+        live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1)
+                <= end_e)
+        return jnp.any(live) & (st["steps"] < max_steps)
+
+    def body(st):
+        e, b = st["e"], st["b"]
+        x0, x1, s = st["x0"], st["x1"], st["s"]
+        bwd, p, etgt = st["bwd"], st["p"], st["etgt"]
+        bx0, bx1, bs = st["bx0"], st["bx1"], st["bs"]
+        fwd_live = (~bwd) & (e + 1 <= end_e)
+        bwd_live = bwd & (etgt <= end_e)
+
+        c_f = base_at(e)
+        c_b = base_at(p - 1)
+        empty = fwd_live & (b == e)
+        nf = c_f >= 4
+
+        # --- rank lanes: FWD-nonempty non-N forward ext, or BWD prepend
+        bwd_free = bwd_live & ((p <= 0) | (c_b >= 4))
+        do_bwd = bwd_live & ~bwd_free
+        do_fwd = fwd_live & ~empty & ~nf
+        need = do_bwd | do_fwd
+        rx0 = jnp.where(do_bwd, bx0, x0)
+        rx1 = jnp.where(do_bwd, bx1, x1)
+        rs = jnp.where(need, jnp.where(do_bwd, bs, s), 0)
+        rc = jnp.clip(jnp.where(do_bwd, c_b, c_f), 0, 3)
+        nx0, nx1, ns = bwt_extend_dir_batch(
+            fmd, jnp.where(need, rx0, 1), jnp.where(need, rx1, 1),
+            rs, rc, do_bwd)
+        acc = need & (ns >= min_intv)
+
+        # --- transition: FWD empty ---------------------------------------
+        sc0, sc1, scs = single_char(c_f)
+        # empty & N: out[e+1] invalid; advance, stay empty
+        # empty & ~N: out[e+1] = (b=e, single)
+        # --- transition: FWD nonempty ------------------------------------
+        # nf: out[e+1] invalid; b=e+1; e+=1; empty (free)
+        # acc: out[e+1] = (b, I'); e+=1
+        # ~acc: enter BWD: etgt=e+1, p=e, scratch=single(c_f)
+        # --- transition: BWD ----------------------------------------------
+        # bwd_free or ~acc: exit: b=p, e=etgt, I=scratch, out[etgt]=(p, I)
+        # acc: p-=1, scratch=I'
+        fwd_emit = fwd_live & (empty | nf | acc)
+        bwd_exit = bwd_free | (do_bwd & ~acc)
+        emit = fwd_emit | bwd_exit
+        col = jnp.where(bwd_exit, etgt, e + 1) - 1
+        emit_valid = ~(fwd_live & nf)
+        emit_b = jnp.where(bwd_exit, p, b)
+        emit_x0 = jnp.where(bwd_exit, bx0, jnp.where(empty, sc0, nx0))
+        emit_x1 = jnp.where(bwd_exit, bx1, jnp.where(empty, sc1, nx1))
+        emit_s = jnp.where(bwd_exit, bs, jnp.where(empty, scs, ns))
+
+        n_e = jnp.where(fwd_emit, e + 1, jnp.where(bwd_exit, etgt, e))
+        n_b = jnp.where(fwd_live & nf, e + 1,
+                        jnp.where(bwd_exit, p, b))
+        n_x0 = jnp.where(bwd_exit, bx0,
+                         jnp.where(empty & ~nf, sc0,
+                                   jnp.where(do_fwd & acc, nx0, x0)))
+        n_x1 = jnp.where(bwd_exit, bx1,
+                         jnp.where(empty & ~nf, sc1,
+                                   jnp.where(do_fwd & acc, nx1, x1)))
+        n_s = jnp.where(bwd_exit, bs,
+                        jnp.where(fwd_live & nf, 0,
+                                  jnp.where(empty, scs,
+                                            jnp.where(do_fwd & acc, ns,
+                                                      s))))
+        n_s = jnp.where(empty & nf, 0, n_s)
+        enter_bwd = do_fwd & ~acc
+        n_bwd = jnp.where(bwd_exit, False, bwd | enter_bwd)
+        n_p = jnp.where(enter_bwd, e, jnp.where(do_bwd & acc, p - 1, p))
+        n_etgt = jnp.where(enter_bwd, e + 1, etgt)
+        n_bx0 = jnp.where(enter_bwd, sc0, jnp.where(do_bwd & acc, nx0, bx0))
+        n_bx1 = jnp.where(enter_bwd, sc1, jnp.where(do_bwd & acc, nx1, bx1))
+        n_bs = jnp.where(enter_bwd, scs, jnp.where(do_bwd & acc, ns, bs))
+
+        # non-emitting lanes write to column L, which mode="drop" discards
+        colw = jnp.where(emit, col, L)
+        ob = st["ob"].at[lane, colw].set(emit_b, mode="drop")
+        ox0 = st["ox0"].at[lane, colw].set(emit_x0, mode="drop")
+        ox1 = st["ox1"].at[lane, colw].set(emit_x1, mode="drop")
+        os_ = st["os"].at[lane, colw].set(emit_s, mode="drop")
+        oval = st["oval"].at[lane, colw].set(emit_valid, mode="drop")
+        return dict(e=n_e, b=n_b, x0=n_x0, x1=n_x1, s=n_s, bwd=n_bwd,
+                    p=n_p, etgt=n_etgt, bx0=n_bx0, bx1=n_bx1, bs=n_bs,
+                    ob=ob, ox0=ox0, ox1=ox1, os=os_, oval=oval,
+                    steps=st["steps"] + 1)
+
+    st = jax.lax.while_loop(cond, body, state)
+    live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1) <= end_e)
+    return (st["ob"], st["ox0"], st["ox1"], st["os"], st["oval"],
+            ~jnp.any(live))
 
 
 @functools.partial(jax.jit, static_argnames=("L", "min_len", "cap"))
@@ -222,17 +409,29 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
     R = Rp
     rd = jnp.asarray(rmat)
 
-    # ---- round 1: all (read, e) lanes ------------------------------------
-    read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
-    e_arr = np.tile(np.arange(1, L + 1, dtype=np.int32), R)
-    b, x0, x1, s, valid = min_starts_kernel(
-        fmd, rd, jnp.asarray(read_idx), jnp.asarray(e_arr),
-        jnp.ones(R * L, np.int64), L)
-    b = np.asarray(b).reshape(R, L)
-    x0 = np.asarray(x0).reshape(R, L)
-    x1 = np.asarray(x1).reshape(R, L)
-    s = np.asarray(s).reshape(R, L)
-    valid = np.asarray(valid).reshape(R, L).copy()
+    # ---- round 1: two-pointer machine (one lane per read) ----------------
+    b, x0, x1, s, valid, done_all = min_starts_twoptr(
+        fmd, rd, jnp.zeros(R, np.int32), jnp.asarray(lens),
+        jnp.ones(R, np.int64), L)
+    if not bool(done_all):
+        # adversarial low-complexity batch blew the step cap: fall back to
+        # the exhaustive per-(read, e) kernel (identical function)
+        read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
+        e_arr = np.tile(np.arange(1, L + 1, dtype=np.int32), R)
+        b, x0, x1, s, valid = min_starts_kernel(
+            fmd, rd, jnp.asarray(read_idx), jnp.asarray(e_arr),
+            jnp.ones(R * L, np.int64), L)
+        b = np.asarray(b).reshape(R, L)
+        x0 = np.asarray(x0).reshape(R, L)
+        x1 = np.asarray(x1).reshape(R, L)
+        s = np.asarray(s).reshape(R, L)
+        valid = np.asarray(valid).reshape(R, L).copy()
+    else:
+        b = np.asarray(b)
+        x0 = np.asarray(x0)
+        x1 = np.asarray(x1)
+        s = np.asarray(s)
+        valid = np.asarray(valid).copy()
     # e beyond the read length is invalid
     valid &= (np.arange(1, L + 1, dtype=np.int32)[None, :]
               <= lens[:, None])
@@ -261,45 +460,71 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
         if qe - qb >= split_len and mem[2] <= opt.split_width:
             reseeds.append((i, (qb + qe) >> 1, mem[2] + 1))
 
-    # ---- round 2: per-reseed lanes over e in (mid, L] --------------------
+    # ---- round 2: one two-pointer lane per reseed request ----------------
     if reseeds:
-        lane_read = []
-        lane_e = []
-        lane_m = []
-        req_off = []           # [start, end) lane range per reseed request
-        for (i, mid, m) in reseeds:
-            start = len(lane_read)
-            for e in range(mid + 1, int(lens[i]) + 1):
-                lane_read.append(i)
-                lane_e.append(e)
-                lane_m.append(m)
-            req_off.append((start, len(lane_read)))
-        if lane_read:
-            b2, x02, x12, s2, valid2 = min_starts_kernel(
+        R2 = 128
+        while R2 < len(reseeds):
+            R2 <<= 1
+        r2_read = np.zeros(R2, np.int32)
+        r2_start = np.zeros(R2, np.int32)
+        r2_end = np.zeros(R2, np.int32)
+        r2_m = np.ones(R2, np.int64)
+        for j, (i, mid, m) in enumerate(reseeds):
+            r2_read[j] = i
+            r2_start[j] = mid
+            r2_end[j] = int(lens[i])
+            r2_m[j] = m
+        rd2 = rd[jnp.asarray(r2_read)]
+        b2, x02, x12, s2, valid2, done2 = min_starts_twoptr(
+            fmd, rd2, jnp.asarray(r2_start), jnp.asarray(r2_end),
+            jnp.asarray(r2_m), L, bwd_init=True)
+        if not bool(done2):
+            # fallback: exhaustive per-(lane, e) kernel on the raw lanes
+            lane_read, lane_e, lane_m, lane_req = [], [], [], []
+            for j, (i, mid, m) in enumerate(reseeds):
+                for e in range(mid + 1, int(lens[i]) + 1):
+                    lane_read.append(i)
+                    lane_e.append(e)
+                    lane_m.append(m)
+                    lane_req.append(j)
+            bf, x0f, x1f, sf, vf = min_starts_kernel(
                 fmd, rd, jnp.asarray(np.array(lane_read, np.int32)),
                 jnp.asarray(np.array(lane_e, np.int32)),
                 jnp.asarray(np.array(lane_m, np.int64)), L)
-            b2 = np.asarray(b2).tolist()
-            x02 = np.asarray(x02).tolist()
-            x12 = np.asarray(x12).tolist()
-            s2 = np.asarray(s2).tolist()
-            valid2 = np.asarray(valid2).tolist()
-            # lanes per request are consecutive and e-ascending
-            for (i, mid, m), (lo, hi) in zip(reseeds, req_off):
-                for j in range(lo, hi):
-                    if not valid2[j]:
-                        continue
-                    e = lane_e[j]
-                    be = b2[j]
-                    if be > mid:
-                        continue
-                    # right-maximality within this constrained family +
-                    # covering-mid filter (smem1a(x=mid, min_intv=m))
-                    if j + 1 < hi and valid2[j + 1] and b2[j + 1] <= be:
-                        continue
-                    if e - be < min_seed:
-                        continue
-                    per_read[i].append((x02[j], x12[j], s2[j], be, e))
+            b2 = np.asarray(b2).copy()
+            x02 = np.asarray(x02).copy()
+            x12 = np.asarray(x12).copy()
+            s2 = np.asarray(s2).copy()
+            valid2 = np.asarray(valid2).copy()
+            b2[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(bf)
+            x02[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(x0f)
+            x12[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(x1f)
+            s2[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(sf)
+            valid2[np.array(lane_req), np.array(lane_e) - 1] = \
+                np.asarray(vf)
+        else:
+            b2 = np.asarray(b2)
+            x02 = np.asarray(x02)
+            x12 = np.asarray(x12)
+            s2 = np.asarray(s2)
+            valid2 = np.asarray(valid2)
+        for j, (i, mid, m) in enumerate(reseeds):
+            for e in range(mid + 1, int(lens[i]) + 1):
+                k = e - 1
+                if not valid2[j, k]:
+                    continue
+                be = int(b2[j, k])
+                if be > mid:
+                    continue
+                # right-maximality within this constrained family +
+                # covering-mid filter (smem1a(x=mid, min_intv=m))
+                if (e < int(lens[i]) and valid2[j, k + 1]
+                        and int(b2[j, k + 1]) <= be):
+                    continue
+                if e - be < min_seed:
+                    continue
+                per_read[i].append((int(x02[j, k]), int(x12[j, k]),
+                                    int(s2[j, k]), be, e))
 
     # ---- round 3: forward-greedy walker ----------------------------------
     if opt.max_mem_intv > 0:

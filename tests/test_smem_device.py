@@ -119,3 +119,59 @@ def test_align_batch_with_device_seed(dup_genome, monkeypatch):  # noqa: F811
     eng2 = BatchAlignmentEngine(fm, use_pallas=False)
     dev_regs = eng2.align_batch(seqs)
     assert host_regs == dev_regs
+
+
+def test_twoptr_low_complexity_and_fallback(dup_genome):  # noqa: F811
+    """Two-pointer machine on pathological low-complexity reads: agrees
+    with the exhaustive per-(read, e) kernel, and the step-cap fallback
+    path produces the same collect output."""
+    import jax.numpy as jnp
+
+    fm, genome = dup_genome
+    opt = AlignerConfig()
+    dfm = fm_batch.DeviceFMIndex.from_host(fm)
+    reads = [
+        encode_read(b"A" * 151),
+        encode_read(b"AT" * 75),
+        encode_read(b"ACG" * 50),
+        encode_read((b"A" * 30 + b"N") * 4),
+        encode_read(genome[100:151] + b"A" * 40),
+    ]
+    want = native_ops.collect_seeds_rbegs_batch(fm, reads, opt)
+    if want is None:
+        pytest.skip("native seeding unavailable")
+    mems_native, _ = want
+    got = smem_device.collect_seeds_device(dfm, fm, reads, opt)
+    for i, (g, w) in enumerate(zip(got, mems_native)):
+        w_rows = [tuple(int(v) for v in row) for row in np.asarray(w)]
+        assert g == w_rows, f"read {i}"
+    # direct function equivalence incl. per-e arrays
+    L = 192
+    R = 8
+    rmat = np.full((R, L), 4, np.uint8)
+    lens = np.zeros(R, np.int32)
+    for i, r in enumerate(reads):
+        rmat[i, :len(r)] = r
+        lens[i] = len(r)
+    rd = jnp.asarray(rmat)
+    b, x0, x1, s, valid, done = smem_device.min_starts_twoptr(
+        dfm, rd, jnp.zeros(R, np.int32), jnp.asarray(lens),
+        jnp.ones(R, np.int64), L)
+    assert bool(done)
+    read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
+    e_arr = np.tile(np.arange(1, L + 1, dtype=np.int32), R)
+    bq, x0q, x1q, sq, vq = smem_device.min_starts_kernel(
+        dfm, rd, jnp.asarray(read_idx), jnp.asarray(e_arr),
+        jnp.ones(R * L, np.int64), L)
+    vq = np.asarray(vq).reshape(R, L)
+    # quadratic kernel computes e > lens columns too; mask both to lens
+    emask = (np.arange(1, L + 1)[None, :] <= lens[:, None])
+    v2 = np.asarray(valid) & emask
+    vq = vq & emask
+    np.testing.assert_array_equal(v2, vq)
+    for name, a, qarr in (("b", b, bq), ("x0", x0, x0q),
+                          ("x1", x1, x1q), ("s", s, sq)):
+        qm = np.asarray(qarr).reshape(R, L)
+        np.testing.assert_array_equal(
+            np.where(v2, np.asarray(a), 0), np.where(v2, qm, 0),
+            err_msg=name)
