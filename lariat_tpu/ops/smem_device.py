@@ -381,12 +381,17 @@ def smems_from_starts(b: np.ndarray, x0: np.ndarray, x1: np.ndarray,
     return out
 
 
-def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
-                         opt) -> List[List[Tuple]]:
-    """Full 3-round collect_intv for a batch of reads, device-batched.
+def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
+                                reads: List[np.ndarray], opt
+                                ) -> List[np.ndarray]:
+    """Full 3-round collect_intv for a batch of reads: device kernels +
+    fully vectorized numpy assembly.
 
-    Returns per-read seed tuple lists (x0, x1, s, qb, qe) matching
-    native seed.cpp fm_collect_seeds_batch output order bit-for-bit.
+    Returns per-read (n, 5) int64 arrays [x0, x1, s, qb, qe] matching
+    native seed.cpp fm_collect_seeds_batch output order bit-for-bit
+    (rounds concatenated in emission order, then one stable (qb, qe)
+    sort). The host side is pure numpy — no per-seed Python loops (the
+    assembly, not the device, was the seeding wall at 8k-read batches).
     """
     n_reads = len(reads)
     if n_reads == 0:
@@ -408,11 +413,19 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
         lens[i] = len(r)
     R = Rp
     rd = jnp.asarray(rmat)
+    min_seed = opt.min_seed_len
+    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
-    # ---- round 1: two-pointer machine (one lane per read) ----------------
-    b, x0, x1, s, valid, done_all = min_starts_twoptr(
-        fmd, rd, jnp.zeros(R, np.int32), jnp.asarray(lens),
-        jnp.ones(R, np.int64), L)
+    # ---- dispatch round 1 + round 3 back to back (async), then download --
+    r1 = min_starts_twoptr(fmd, rd, jnp.zeros(R, np.int32),
+                           jnp.asarray(lens), jnp.ones(R, np.int64), L)
+    if opt.max_mem_intv > 0:
+        cap3 = max(2, L // max(min_seed, 1) + 2)
+        r3 = strategy1_kernel(fmd, rd, jnp.asarray(lens),
+                              int(opt.max_mem_intv), L, int(min_seed), cap3)
+    else:
+        r3 = None
+    b, x0, x1, s, valid, done_all = r1
     if not bool(done_all):
         # adversarial low-complexity batch blew the step cap: fall back to
         # the exhaustive per-(read, e) kernel (identical function)
@@ -436,56 +449,49 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
     valid &= (np.arange(1, L + 1, dtype=np.int32)[None, :]
               <= lens[:, None])
 
-    min_seed = opt.min_seed_len
-    split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
-    # vectorized round-1 assembly (smems_from_starts semantics batched)
+    # ---- round-1 emission mask (smems_from_starts semantics, batched) ----
     e_mat = np.arange(1, L + 1, dtype=np.int64)[None, :]
     BIG = np.int64(1 << 60)
     bnext = np.full((R, L), BIG, np.int64)
     bnext[:, :-1] = np.where(valid[:, 1:], b[:, 1:].astype(np.int64), BIG)
     emit = (valid & ((e_mat - b) >= min_seed) & (bnext > b))
-    per_read: List[List[Tuple]] = [[] for _ in range(R)]
-    reseeds = []   # (read, mid, s+1) requests, in round-1 emission order
-    ri_idx, ei_idx = np.nonzero(emit)
-    mb = b[ri_idx, ei_idx].tolist()
-    mx0 = x0[ri_idx, ei_idx].tolist()
-    mx1 = x1[ri_idx, ei_idx].tolist()
-    ms_ = s[ri_idx, ei_idx].tolist()
-    for k in range(len(ri_idx)):
-        i = int(ri_idx[k])
-        qe = int(ei_idx[k]) + 1
-        qb = int(mb[k])
-        mem = (int(mx0[k]), int(mx1[k]), int(ms_[k]), qb, qe)
-        per_read[i].append(mem)
-        if qe - qb >= split_len and mem[2] <= opt.split_width:
-            reseeds.append((i, (qb + qe) >> 1, mem[2] + 1))
+    ri1, ei1 = np.nonzero(emit)            # read-major, e-ascending
+    qb1 = b[ri1, ei1].astype(np.int64)
+    qe1 = ei1.astype(np.int64) + 1
+    m1 = np.stack([x0[ri1, ei1].astype(np.int64),
+                   x1[ri1, ei1].astype(np.int64),
+                   s[ri1, ei1].astype(np.int64), qb1, qe1], axis=1)
 
     # ---- round 2: one two-pointer lane per reseed request ----------------
-    if reseeds:
+    re_mask = ((qe1 - qb1 >= split_len) & (m1[:, 2] <= opt.split_width))
+    r2_reads = ri1[re_mask].astype(np.int32)
+    r2_mid = ((qb1[re_mask] + qe1[re_mask]) >> 1).astype(np.int32)
+    r2_min = (m1[re_mask, 2] + 1).astype(np.int64)
+    n_r2 = len(r2_reads)
+    if n_r2:
         R2 = 128
-        while R2 < len(reseeds):
+        while R2 < n_r2:
             R2 <<= 1
         r2_read = np.zeros(R2, np.int32)
         r2_start = np.zeros(R2, np.int32)
         r2_end = np.zeros(R2, np.int32)
         r2_m = np.ones(R2, np.int64)
-        for j, (i, mid, m) in enumerate(reseeds):
-            r2_read[j] = i
-            r2_start[j] = mid
-            r2_end[j] = int(lens[i])
-            r2_m[j] = m
+        r2_read[:n_r2] = r2_reads
+        r2_start[:n_r2] = r2_mid
+        r2_end[:n_r2] = lens[r2_reads]
+        r2_m[:n_r2] = r2_min
         rd2 = rd[jnp.asarray(r2_read)]
         b2, x02, x12, s2, valid2, done2 = min_starts_twoptr(
             fmd, rd2, jnp.asarray(r2_start), jnp.asarray(r2_end),
             jnp.asarray(r2_m), L, bwd_init=True)
         if not bool(done2):
-            # fallback: exhaustive per-(lane, e) kernel on the raw lanes
             lane_read, lane_e, lane_m, lane_req = [], [], [], []
-            for j, (i, mid, m) in enumerate(reseeds):
-                for e in range(mid + 1, int(lens[i]) + 1):
-                    lane_read.append(i)
+            for j in range(n_r2):
+                for e in range(int(r2_mid[j]) + 1,
+                               int(lens[r2_reads[j]]) + 1):
+                    lane_read.append(int(r2_reads[j]))
                     lane_e.append(e)
-                    lane_m.append(m)
+                    lane_m.append(int(r2_min[j]))
                     lane_req.append(j)
             bf, x0f, x1f, sf, vf = min_starts_kernel(
                 fmd, rd, jnp.asarray(np.array(lane_read, np.int32)),
@@ -496,59 +502,76 @@ def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
             x12 = np.asarray(x12).copy()
             s2 = np.asarray(s2).copy()
             valid2 = np.asarray(valid2).copy()
-            b2[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(bf)
-            x02[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(x0f)
-            x12[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(x1f)
-            s2[np.array(lane_req), np.array(lane_e) - 1] = np.asarray(sf)
-            valid2[np.array(lane_req), np.array(lane_e) - 1] = \
-                np.asarray(vf)
+            lr, le = np.array(lane_req), np.array(lane_e) - 1
+            b2[lr, le] = np.asarray(bf)
+            x02[lr, le] = np.asarray(x0f)
+            x12[lr, le] = np.asarray(x1f)
+            s2[lr, le] = np.asarray(sf)
+            valid2[lr, le] = np.asarray(vf)
         else:
             b2 = np.asarray(b2)
             x02 = np.asarray(x02)
             x12 = np.asarray(x12)
             s2 = np.asarray(s2)
             valid2 = np.asarray(valid2)
-        for j, (i, mid, m) in enumerate(reseeds):
-            for e in range(mid + 1, int(lens[i]) + 1):
-                k = e - 1
-                if not valid2[j, k]:
-                    continue
-                be = int(b2[j, k])
-                if be > mid:
-                    continue
-                # right-maximality within this constrained family +
-                # covering-mid filter (smem1a(x=mid, min_intv=m))
-                if (e < int(lens[i]) and valid2[j, k + 1]
-                        and int(b2[j, k + 1]) <= be):
-                    continue
-                if e - be < min_seed:
-                    continue
-                per_read[i].append((int(x02[j, k]), int(x12[j, k]),
-                                    int(s2[j, k]), be, e))
+        # emission mask over (n_r2, L): e in (mid, len], valid, be <= mid,
+        # e - be >= min_seed, and right-maximality within the family
+        # (next e valid with b <= be) — smem1a(x=mid, min_intv=m)
+        b2l = b2[:n_r2].astype(np.int64)
+        v2 = valid2[:n_r2]
+        lens2 = lens[r2_reads].astype(np.int64)[:, None]
+        mid2 = r2_mid.astype(np.int64)[:, None]
+        in_rng = (e_mat > mid2) & (e_mat <= lens2)
+        bnext2 = np.full_like(b2l, BIG)
+        bnext2[:, :-1] = np.where(v2[:, 1:], b2l[:, 1:], BIG)
+        # the family only covers e <= len: treat e == len as maximal
+        bnext2[:, :-1] = np.where(e_mat[:, 1:] <= lens2, bnext2[:, :-1],
+                                  BIG)
+        emit2 = (in_rng & v2 & (b2l <= mid2)
+                 & ((e_mat - b2l) >= min_seed) & (bnext2 > b2l))
+        rj2, ej2 = np.nonzero(emit2)       # request-major, e-ascending
+        m2 = np.stack([x02[rj2, ej2].astype(np.int64),
+                       x12[rj2, ej2].astype(np.int64),
+                       s2[rj2, ej2].astype(np.int64),
+                       b2l[rj2, ej2], ej2.astype(np.int64) + 1], axis=1)
+        ri2 = r2_reads[rj2].astype(np.int64)
+    else:
+        m2 = np.zeros((0, 5), np.int64)
+        ri2 = np.zeros(0, np.int64)
 
     # ---- round 3: forward-greedy walker ----------------------------------
-    if opt.max_mem_intv > 0:
-        cap = max(2, L // max(min_seed, 1) + 2)
-        n3, qb3, qe3, ox0, ox1, os3 = strategy1_kernel(
-            fmd, rd, jnp.asarray(lens), int(opt.max_mem_intv), L,
-            int(min_seed), cap)
-        n3 = np.asarray(n3)
-        qb3 = np.asarray(qb3)
-        qe3 = np.asarray(qe3)
-        ox0 = np.asarray(ox0)
-        ox1 = np.asarray(ox1)
-        os3 = np.asarray(os3)
-        for i in range(R):
-            for k in range(int(n3[i])):
-                if int(os3[i, k]) > 0:
-                    per_read[i].append((int(ox0[i, k]), int(ox1[i, k]),
-                                        int(os3[i, k]), int(qb3[i, k]),
-                                        int(qe3[i, k])))
+    if r3 is not None:
+        n3, qb3, qe3, ox0, ox1, os3 = (np.asarray(a) for a in r3)
+        k3 = np.arange(qb3.shape[1], dtype=np.int64)[None, :]
+        emit3 = (k3 < n3[:, None]) & (os3 > 0)
+        ri3, ki3 = np.nonzero(emit3)       # read-major, k-ascending
+        m3 = np.stack([ox0[ri3, ki3].astype(np.int64),
+                       ox1[ri3, ki3].astype(np.int64),
+                       os3[ri3, ki3].astype(np.int64),
+                       qb3[ri3, ki3].astype(np.int64),
+                       qe3[ri3, ki3].astype(np.int64)], axis=1)
+    else:
+        m3 = np.zeros((0, 5), np.int64)
+        ri3 = np.zeros(0, np.int64)
 
-    # ---- final stable (qb, qe) sort (collect_intv) -----------------------
-    for i in range(n_reads):
-        per_read[i] = sorted(per_read[i], key=lambda t: (t[3], t[4]))
-    return per_read[:n_reads]
+    # ---- merge + final stable (qb, qe) sort per read (collect_intv) ------
+    rid = np.concatenate([ri1.astype(np.int64), ri2, ri3.astype(np.int64)])
+    mall = np.concatenate([m1, m2, m3], axis=0)
+    seq = np.arange(len(rid), dtype=np.int64)  # emission order within read
+    order = np.lexsort((seq, mall[:, 4], mall[:, 3], rid))
+    rid = rid[order]
+    mall = mall[order]
+    counts = np.bincount(rid, minlength=R)[:n_reads]
+    splits = np.cumsum(counts)[:-1]
+    return [a.reshape(-1, 5) for a in np.split(mall, splits)]
+
+
+def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
+                         opt) -> List[List[Tuple]]:
+    """Tuple-list view of collect_seeds_arrays_device (test surface)."""
+    arrs = collect_seeds_arrays_device(fmd, fm, reads, opt)
+    return [[tuple(int(v) for v in row) for row in a.tolist()]
+            for a in arrs]
 
 
 def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
@@ -562,35 +585,37 @@ def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
     """
     from ..parallel.align_step import sa_lookup_batch as sa_dev
 
-    per_read = collect_seeds_device(dfm, fm, reads, opt)
-    mems = [np.array(m, np.int64).reshape(-1, 5) for m in per_read]
-    rows = []
-    counts = []
+    mems = collect_seeds_arrays_device(dfm, fm, reads, opt)
     max_occ = int(opt.max_occ)
-    for m in mems:
-        c0 = len(rows)
-        for x0v, _x1, sv, _qb, _qe in m.tolist():
-            step = sv // max_occ if sv > max_occ else 1
-            cnt = 0
-            k = 0
-            while k < sv and cnt < max_occ:
-                rows.append(x0v + k)
-                k += step
-                cnt += 1
-        counts.append(len(rows) - c0)
-    if rows:
+    if mems:
+        flat = np.concatenate([m for m in mems], axis=0)
+    else:
+        flat = np.zeros((0, 5), np.int64)
+    sv = flat[:, 2]
+    x0v = flat[:, 0]
+    step = np.where(sv > max_occ, sv // np.int64(max_occ), np.int64(1))
+    cnt = np.where(sv > max_occ, np.int64(max_occ), sv)
+    total = int(cnt.sum())
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]]).astype(np.int64)
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(starts, cnt))
+    rows_arr = np.repeat(x0v, cnt) + within * np.repeat(step, cnt)
+    if total:
         # pad the SA-walk batch to pow2 (row 0 is always a valid cheap walk)
         npad = 128
-        while npad < len(rows):
+        while npad < total:
             npad <<= 1
         rarr = np.zeros(npad, np.int64)
-        rarr[:len(rows)] = rows
-        out = np.asarray(sa_dev(dg, jnp.asarray(rarr)))[:len(rows)]
+        rarr[:total] = rows_arr
+        out = np.asarray(sa_dev(dg, jnp.asarray(rarr)))[:total]
     else:
         out = np.zeros(0, np.int64)
+    per_seed = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
     rbegs = []
-    off = 0
-    for c in counts:
-        rbegs.append(out[off:off + c].astype(np.int64))
-        off += c
+    seed_off = 0
+    for m in mems:
+        lo = per_seed[seed_off]
+        hi = per_seed[seed_off + len(m)] if len(m) else lo
+        rbegs.append(out[lo:hi].astype(np.int64))
+        seed_off += len(m)
     return mems, rbegs
