@@ -288,16 +288,36 @@ def run(argv=None):
                 # must exercise the primed path end to end)
                 device_engine.wait_warmup()
 
+            import time as _time
+            rate_box = {"pairs_s": None}
+
             def prime_tagged(tagged):
+                t0 = _time.time()
                 primed = _prime_group(device_engine,
                                       [it for _, it in tagged], config)
+                dt = max(_time.time() - t0, 1e-3)
+                n = sum(len(it[0]) for _, it in tagged)
+                r = n / dt
+                prev = rate_box["pairs_s"]
+                rate_box["pairs_s"] = r if prev is None else (
+                    0.5 * prev + 0.5 * r)
                 return [(s, p) for (s, _), p in zip(tagged, primed)]
 
-            futs = deque()
+            futs = deque()   # (future, tagged) pairs
+
+            def batch_target() -> int:
+                # size prime batches so one wave is ~2 s of device work:
+                # a slow device (or cold tunnel) then holds only a short
+                # tail at EOF and can never gate the run; a fast device
+                # gets full 4k-pair waves
+                r = rate_box["pairs_s"]
+                if r is None:
+                    return 4096
+                return max(512, min(8192, int(r * 2.0)))
 
             def drain(block: bool):
-                while futs and (block or futs[0].done()):
-                    for t in futs.popleft().result():
+                while futs and (block or futs[0][0].done()):
+                    for t in futs.popleft()[0].result():
                         feed_stats["primed_pairs"] += len(t[1][0])
                         yield t
             try:
@@ -316,20 +336,39 @@ def run(argv=None):
                         device_engine.wait_warmup()
                     buf.append(t)
                     pending += len(item[0])
-                    if pending >= 4096:
-                        if sum(1 for f in futs
+                    if pending >= batch_target():
+                        if sum(1 for f, _ in futs
                                if not f.done()) >= n_prime:
                             # priming saturated: host route, immediately
                             for s, it in buf:
                                 feed_stats["host_pairs"] += len(it[0])
                                 yield (s, it)
                         else:
-                            futs.append(ex.submit(prime_tagged, buf))
+                            futs.append((ex.submit(prime_tagged, buf),
+                                         buf))
                         buf = []
                         pending = 0
                         yield from drain(block=False)
+                # EOF: the device must never gate the tail. Submit the
+                # remainder only if a prime slot is free; cancel queued
+                # (not yet running) futures and host-route their batches.
                 if buf:
-                    futs.append(ex.submit(prime_tagged, buf))
+                    if sum(1 for f, _ in futs if not f.done()) >= n_prime:
+                        for s, it in buf:
+                            feed_stats["host_pairs"] += len(it[0])
+                            yield (s, it)
+                    else:
+                        futs.append((ex.submit(prime_tagged, buf), buf))
+                keep = deque()
+                while futs:
+                    f, tagged = futs.popleft()
+                    if f.cancel():
+                        for s, it in tagged:
+                            feed_stats["host_pairs"] += len(it[0])
+                            yield (s, it)
+                    else:
+                        keep.append((f, tagged))
+                futs = keep
                 yield from drain(block=True)
             finally:
                 ex.shutdown(wait=False)
