@@ -111,6 +111,11 @@ def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
     if tie:
         out["tie_sensitive_rate"] = float(tie.group(3))
         out["tie_sensitive_picks"] = [int(tie.group(1)), int(tie.group(2))]
+    rfa = re.search(r"rfa wall: ([0-9.]+)s across workers \(rows: (\w+)\)",
+                    proc.stdout)
+    if rfa:
+        out["rfa_wall_s"] = float(rfa.group(1))
+        out["rfa_rows"] = rfa.group(2)
     return out
 
 
@@ -324,6 +329,20 @@ def main() -> None:
         "index_build_s": round(t_index, 1),
         **{k: v for k, v in candidates.items()},
     }
+    # RFA jit-vs-numpy probe (VERDICT r4 item 4): one run with the jitted
+    # row kernel so the decision to ship numpy rows stays evidence-backed
+    # in every BENCH artifact (jit measured ~10x slower: per-worker
+    # per-bucket compiles never amortize on rows this small)
+    detail["rfa_numpy"] = {"pairs_s": host.get("pairs_s"),
+                           "rfa_wall_s": host.get("rfa_wall_s")}
+    os.environ["LARIAT_RFA_JIT"] = "1"
+    try:
+        jit_probe = _run_cli(fa, reads,
+                             os.path.join(workdir, "out_rfajit2"), "off")
+    finally:
+        os.environ.pop("LARIAT_RFA_JIT", None)
+    detail["rfa_jit_probe"] = {
+        k: jit_probe.get(k) for k in ("pairs_s", "rfa_wall_s", "rfa_rows")}
     # record-level device-vs-host parity on the last pair of runs
     if have_device and "pairs_s" in dev:
         try:

@@ -194,6 +194,7 @@ class BatchAlignmentEngine(AlignmentEngine):
         self.use_pallas = use_pallas
         self.mesh = mesh
         self.shard_waves = 0          # waves whose inputs were mesh-sharded
+        self.shard_log: list = []     # per sharded wave: {"Bp", "real"}
         # device wave accounting (wall time spent with a wave dispatched or
         # downloading, summed across priming threads): the CLI reports
         # wall / elapsed as the device-busy fraction proxy
@@ -215,10 +216,17 @@ class BatchAlignmentEngine(AlignmentEngine):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         out = []
+        rec = {"Bp": int(np.shape(arrays[0])[0])}
+        for a in arrays:
+            if np.ndim(a) == 1 and getattr(np.asarray(a).dtype, "kind",
+                                           "") == "i":
+                rec["real"] = int(np.count_nonzero(np.asarray(a)))
+                break
         for a in arrays:
             spec = P("data", *([None] * (np.ndim(a) - 1)))
             out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
         self.shard_waves += 1
+        self.shard_log.append(rec)
         return tuple(out)
 
     def _tier_plan(self, qmax: int) -> dict:

@@ -390,6 +390,8 @@ def run(argv=None):
                 if len(packed.stats) >= 6:
                     stats.picks += packed.stats[4]
                     stats.tie_picks += packed.stats[5]
+                if len(packed.stats) >= 7:
+                    stats.rfa_wall += packed.stats[6]
         assert not reorder, "reorder buffer not drained"
         runner.close()
         if device_engine is not None:
@@ -435,6 +437,10 @@ def run(argv=None):
     if stats.picks:
         print(f"tie-sensitive picks: {stats.tie_picks}/{stats.picks} "
               f"({stats.tie_picks / stats.picks:.4f})")
+    if stats.rfa_wall:
+        jit_on = os.environ.get("LARIAT_RFA_JIT", "") != "0"
+        print(f"rfa wall: {stats.rfa_wall:.2f}s across workers "
+              f"(rows: {'jit' if jit_on else 'numpy'})")
     if args.simulated and stats.total:
         print(f"simulated: total={stats.total} correct={stats.correct} "
               f"mapq10 total={stats.total_mapq10} correct={stats.correct_mapq10}")

@@ -46,7 +46,7 @@ class PackedBarcode:
     bc_sorted: bytes                       # concatenated record bytes
     buckets: List[Tuple[str, int, bytes]]  # (contig|'unmapped', chunk, blob)
     n_reads: int
-    stats: Tuple[int, int, int, int, int, int]
+    stats: Tuple[int, int, int, int, int, int, float]
 
 
 def _init_worker() -> None:
@@ -55,6 +55,20 @@ def _init_worker() -> None:
     # thread fan-out would oversubscribe (workers x N_THREADS threads)
     from ..index import native_ops
     native_ops.N_THREADS = 1
+    # RFA rows: the numpy tensor path stays the worker default. The jit
+    # twin (LARIAT_RFA_JIT=1) was measured 10x slower end to end on the
+    # toy corpus (rfa wall 0.31 s numpy vs 3.01 s jit, 5 workers): the
+    # per-worker per-shape-bucket compiles never amortize against rows
+    # this small. When it IS requested, pin jax to cpu FIRST — the axon
+    # TPU plugin ignores the env-level platform pin and would route
+    # worker jits through the (single-client, possibly dead) tunnel.
+    import os
+    if os.environ.get("LARIAT_RFA_JIT") not in (None, "", "0"):
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 — numpy rows remain correct
+            os.environ.pop("LARIAT_RFA_JIT", None)
 
 
 def _run_one(work) -> PackedBarcode:
@@ -94,7 +108,8 @@ def _run_one(work) -> PackedBarcode:
                  for (c, i), parts in by_bucket.items()],
         n_reads=len(reads),
         stats=(stats.total, stats.correct, stats.total_mapq10,
-               stats.correct_mapq10, stats.picks, stats.tie_picks))
+               stats.correct_mapq10, stats.picks, stats.tie_picks,
+               stats.rfa_wall))
 
 
 def _run_one_seq(tagged) -> Tuple[int, PackedBarcode]:

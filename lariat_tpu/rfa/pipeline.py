@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Tuple
 
 from ..align.engine import AlignmentEngine
@@ -29,6 +30,9 @@ class RFAStats:
     # only picks a different tie-break RNG stream could change)
     picks: int = 0
     tie_picks: int = 0
+    # wall seconds inside the RFA core (move optimizer + MAPQ), for the
+    # bench's per-stage split (VERDICT r4 item 4)
+    rfa_wall: float = 0.0
 
 
 @dataclasses.dataclass
@@ -90,11 +94,15 @@ def process_barcode(engine: AlignmentEngine, reads: List[FastQRecord],
     positions = tag_best_alignments(alignments, -17, stats=stats)
 
     if not worth:
+        t0 = time.perf_counter()
         estimate_map_qualities(alignments, None, ipp, ipp, centromeres)
+        if stats is not None:
+            stats.rfa_wall += time.perf_counter() - t0
         mark_duplicates(alignments)
         check_split_reads(stashed, centromeres, ipp)
         return BarcodeResult(alignments, None, reads, unique_barcode, barcode)
 
+    t0 = time.perf_counter()
     molecules = infer_molecules(positions)
     mark_best_alignment_for_read_in_molecule(molecules, ipp)
     molecules = scrap_molecules(molecules)
@@ -102,6 +110,8 @@ def process_barcode(engine: AlignmentEngine, reads: List[FastQRecord],
     opt = RFAOptimizer(molecules, alignments, ipp, barcode)
     opt.optimize()
     estimate_map_qualities(alignments, molecules, ipp, ipp, centromeres)
+    if stats is not None:
+        stats.rfa_wall += time.perf_counter() - t0
     if simulated and stats is not None:
         simulated_data_check(molecules, stats)
     mark_duplicates(alignments)

@@ -82,7 +82,7 @@ class RFATensors:
 
         K must not contain src_idx (the scalar loop's source==sink special
         cases all hinge on source.id != sink.id being true)."""
-        if os.environ.get("LARIAT_RFA_JIT"):
+        if os.environ.get("LARIAT_RFA_JIT") not in (None, "", "0"):
             return self._row_jit(source, src_idx, K, log_unpaired_probability)
         return self._row_numpy(source, src_idx, K, log_unpaired_probability)
 
