@@ -209,25 +209,40 @@ class BatchAlignmentEngine(AlignmentEngine):
 
     def _shard_wave(self, *arrays):
         """device_put wave batches over the data mesh (batch dim sharded);
-        no-op without a mesh. Wave batch sizes are pow2 >= 128 so they
-        divide any power-of-two device count."""
+        returns (arrays, inv). Without a mesh: (arrays, None).
+
+        Real tasks fill the first rows of a padded wave, so contiguous
+        sharding would hand whole devices nothing but padding (measured
+        12x real-task imbalance on the dryrun). Rows are therefore
+        round-robined across device blocks before the device_put — every
+        device gets an even share of REAL work — and consumers restore
+        task order by indexing downloaded per-row results with ``inv``.
+        Wave batch sizes are pow2 >= 128 so they divide any power-of-two
+        device count."""
         if self.mesh is None:
-            return arrays
+            return arrays, None
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
-        out = []
-        rec = {"Bp": int(np.shape(arrays[0])[0])}
+        n = self.mesh.devices.size
+        Bp = int(np.shape(arrays[0])[0])
+        rpb = Bp // n
+        new = np.arange(Bp)
+        perm = (new % rpb) * n + new // rpb      # perm[new_row] = old_task
+        inv = (new % n) * rpb + new // n         # inv[old_task] = new_row
+        rec = {"Bp": Bp, "n_dev": n}
         for a in arrays:
             if np.ndim(a) == 1 and getattr(np.asarray(a).dtype, "kind",
                                            "") == "i":
                 rec["real"] = int(np.count_nonzero(np.asarray(a)))
                 break
+        out = []
         for a in arrays:
             spec = P("data", *([None] * (np.ndim(a) - 1)))
-            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+            out.append(jax.device_put(np.asarray(a)[perm],
+                                      NamedSharding(self.mesh, spec)))
         self.shard_waves += 1
         self.shard_log.append(rec)
-        return tuple(out)
+        return tuple(out), inv
 
     def _tier_plan(self, qmax: int) -> dict:
         """Wave-tier shape sets derived from the longest query seen so far.
@@ -390,7 +405,7 @@ class BatchAlignmentEngine(AlignmentEngine):
                     (len(s) for s in seqs), default=64))["ext"]
                     if self.use_pallas else {})
                 q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
-                q, qlen, t, tlen, h0, w = self._shard_wave(
+                (q, qlen, t, tlen, h0, w), inv = self._shard_wave(
                     q, qlen, t, tlen, h0, w)
                 bonus = opt.pen_clip5 if sess.phase() == 0 else opt.pen_clip3
                 kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
@@ -408,6 +423,8 @@ class BatchAlignmentEngine(AlignmentEngine):
                                                 packed=True, **kw)
                 t_disp = time.time()
                 rows = np.asarray(res)   # ONE transfer per wave: (6+, B)
+                if inv is not None:
+                    rows = rows[:, inv]  # undo the shard round-robin
                 if WAVE_TRACE:
                     _wtrace("ext", (len(qlen), q.shape[1], t.shape[1]),
                             t_dev - t_wave, t_disp - t_dev,
@@ -852,7 +869,7 @@ class BatchAlignmentEngine(AlignmentEngine):
                 tiers["pad_b"] = lambda n: max(pad, _pow2_bucket(n))
         t_fill = time.time()
         q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
-        q, qlen, t, tlen, wv = self._shard_wave(q, qlen, t, tlen, wv)
+        (q, qlen, t, tlen, wv), inv = self._shard_wave(q, qlen, t, tlen, wv)
         kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                   o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
         if self.use_pallas:
@@ -874,21 +891,23 @@ class BatchAlignmentEngine(AlignmentEngine):
                         t_call - t_fill, time.time() - t_call, 0.0,
                         sum(np.asarray(a).nbytes
                             for a in (q, t, qlen, tlen, wv)), 0)
-            return ("pallas", blob, S, res, qlen, tlen, wv)
+            return ("pallas", blob, S, res, qlen, tlen, wv, inv)
         from ..ops import sw_global_batch
         n_col = min(q.shape[1], 2 * (opt.band_width << 2) + 1)
         res = sw_global_batch.global_batch(
             q, qlen, t, tlen, mat, wv, n_col, **kw)
-        return ("xla", res, qlen, tlen, wv)
+        return ("xla", res, qlen, tlen, wv, inv)
 
     def _r2s_feed(self, st, handle) -> None:
         """Download a dispatched wave's results and feed the session."""
         sess = st["sess"]
         if handle[0] == "pallas":
             from ..ops import sw_global_pallas
-            _, blob_h, S, res, qlen, tlen, wv = handle
+            _, blob_h, S, res, qlen, tlen, wv, inv = handle
             t_dl = time.time()
             blob = np.asarray(blob_h)
+            if inv is not None:
+                blob = blob[inv]         # undo the shard round-robin
             if WAVE_TRACE:
                 _wtrace("r2a.f", (len(qlen),), 0.0, 0.0,
                         time.time() - t_dl, 0, blob.nbytes)
@@ -900,21 +919,35 @@ class BatchAlignmentEngine(AlignmentEngine):
                 ops_buf, i_fin, k_fin = (
                     sw_global_pallas.traceback_ops_device(
                         res.z, qlen, tlen, wv, S=S, packed_layout=False))
+                ops_np = np.asarray(ops_buf)
+                ifin_np = np.asarray(i_fin)
+                kfin_np = np.asarray(k_fin)
+                if inv is not None:
+                    ops_np, ifin_np, kfin_np = (ops_np[inv], ifin_np[inv],
+                                                kfin_np[inv])
                 raw = sw_global_pallas.cigars_from_ops_raw(
-                    np.asarray(ops_buf), np.asarray(i_fin),
-                    np.asarray(k_fin))
+                    ops_np, ifin_np, kfin_np)
             cig_mat, nops = raw
             sess.feed(score, cig_mat, nops)
             return
         from ..ops import sw_global_batch
-        _, res, qlen, tlen, wv = handle
+        _, res, qlen, tlen, wv, inv = handle
         B = int(sess.pending())
+        zs = np.asarray(res.z)
+        begs = np.asarray(res.beg)
+        scores = np.asarray(res.score)
+        qlen_h = np.asarray(qlen)
+        tlen_h = np.asarray(tlen)
+        wv_h = np.asarray(wv)
+        if inv is not None:
+            zs, begs, scores = zs[inv], begs[inv], scores[inv]
+            qlen_h, tlen_h, wv_h = qlen_h[inv], tlen_h[inv], wv_h[inv]
         cigars = sw_global_batch.traceback_batch(
-            np.asarray(res.z), np.asarray(res.beg),
-            [int(v) for v in qlen[:B]],
-            [int(v) for v in tlen[:B]],
-            [int(v) for v in wv[:B]])
-        sess.feed_cigar_lists(np.asarray(res.score), cigars)
+            zs, begs,
+            [int(v) for v in qlen_h[:B]],
+            [int(v) for v in tlen_h[:B]],
+            [int(v) for v in wv_h[:B]])
+        sess.feed_cigar_lists(scores, cigars)
 
     def _reg2aln_session(self, tasks) -> Optional[List[SingleReadAlignment]]:
         """Chunked + pipelined session driver: every live chunk's wave is
@@ -1054,6 +1087,8 @@ class BatchAlignmentEngine(AlignmentEngine):
                     qlen[i] = len(g.q)
                     tlen[i] = len(g.rseq)
                     wv[i] = g.w2
+                (qa, qlen, ta, tlen, wv), inv = self._shard_wave(
+                    qa, qlen, ta, tlen, wv)
                 if self.use_pallas:
                     from ..ops import sw_global_pallas
                     res = sw_global_pallas.global_batch_pallas(
@@ -1069,9 +1104,15 @@ class BatchAlignmentEngine(AlignmentEngine):
                             res.z, qlen, tlen, wv, S=Lq + Lt,
                             packed_layout=False))
                     scores = np.asarray(res.score)
+                    ops_np, ifin_np, kfin_np = (np.asarray(ops_buf),
+                                                np.asarray(i_fin),
+                                                np.asarray(k_fin))
+                    if inv is not None:
+                        scores = scores[inv]
+                        ops_np, ifin_np, kfin_np = (
+                            ops_np[inv], ifin_np[inv], kfin_np[inv])
                     cigars = sw_global_pallas.cigars_from_ops(
-                        np.asarray(ops_buf), np.asarray(i_fin),
-                        np.asarray(k_fin))
+                        ops_np, ifin_np, kfin_np)
                     for i, g in enumerate(run_idx):
                         g.score = int(scores[i])
                         g.cigar = cigars[i]
@@ -1084,6 +1125,8 @@ class BatchAlignmentEngine(AlignmentEngine):
                     zs = np.asarray(res.z)
                     begs = np.asarray(res.beg)
                     scores = np.asarray(res.score)
+                    if inv is not None:
+                        zs, begs, scores = zs[inv], begs[inv], scores[inv]
                     cigars = sw_global_batch.traceback_batch(
                         zs, begs, [len(g.q) for g in run_idx],
                         [len(g.rseq) for g in run_idx],

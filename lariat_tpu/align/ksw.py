@@ -526,8 +526,10 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
         ta[i, :len(ti)] = ti
         qlen[i] = len(qi)
         tlen[i] = len(ti)
+    inv = None
     if shard_fn is not None:   # mesh-shard the wave over the batch dim
-        qa, qlen, ta, tlen, minscs = shard_fn(qa, qlen, ta, tlen, minscs)
+        (qa, qlen, ta, tlen, minscs), inv = shard_fn(qa, qlen, ta, tlen,
+                                                     minscs)
     if backend == "pallas":
         from ..ops.sw_local_pallas import local_two_pass_pallas
         params = _mat_params(np.asarray(mat))
@@ -545,6 +547,8 @@ def local_align_batch(tasks: List[Tuple[np.ndarray, np.ndarray]],
                              o_del=o_del, e_del=e_del, o_ins=o_ins,
                              e_ins=e_ins, max_sc=int(np.asarray(mat).max()))
     rows = np.asarray(out)        # single transfer: (8, Bp)
+    if inv is not None:
+        rows = rows[:, inv]       # undo the shard round-robin
     score, te, qe, score2, te2, qe_r, te_r, scored = (
         rows[k].tolist() for k in range(8))
     for k, i in enumerate(fwd_idx):

@@ -26,15 +26,16 @@ def emit(name, **kw):
 
 
 def timeit(fn, iters=3):
+    """(first_call_s, per_call_s). first_call_s = compile + one execution
+    (not compile alone). Blocks every iteration so async dispatch cannot
+    pipeline the loop and understate per-call latency (ADVICE r4)."""
     t0 = time.time()
-    out = fn()
-    jax_block(out)
-    compile_s = time.time() - t0
+    jax_block(fn())
+    first_call_s = time.time() - t0
     t0 = time.time()
     for _ in range(iters):
-        out = fn()
-    jax_block(out)
-    return compile_s, (time.time() - t0) / iters
+        jax_block(fn())
+    return first_call_s, (time.time() - t0) / iters
 
 
 def jax_block(out):
