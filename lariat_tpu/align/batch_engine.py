@@ -207,7 +207,30 @@ class BatchAlignmentEngine(AlignmentEngine):
             self._warmup.join()
             self._warmup = None
 
-    def _shard_wave(self, *arrays):
+    def _pac_resident(self):
+        """(pac_words_devicearray, l_pac) cached on the engine — the 2-bit
+        genome uploaded once, shared by every resident-fed wave."""
+        pr = getattr(self, "_pac_res", None)
+        if pr is None:
+            import jax
+            import jax.numpy as jnp
+            ds = getattr(self, "_dseed", None)
+            if ds is not None:
+                pr = (ds[1].pac_words, int(self.fm.l_pac))
+            else:
+                pac = self.fm.pac
+                padb = (-len(pac)) % 4
+                if padb:
+                    pac = np.concatenate([pac, np.zeros(padb, np.uint8)])
+                words = (pac.reshape(-1, 4).astype(np.uint32)
+                         << np.array([24, 16, 8, 0], np.uint32)).sum(
+                             axis=1, dtype=np.uint32)
+                pr = (jax.device_put(jnp.asarray(words)),
+                      int(self.fm.l_pac))
+            self._pac_res = pr
+        return pr
+
+    def _shard_wave(self, *arrays, real=None):
         """device_put wave batches over the data mesh (batch dim sharded);
         returns (arrays, inv). Without a mesh: (arrays, None).
 
@@ -230,11 +253,14 @@ class BatchAlignmentEngine(AlignmentEngine):
         perm = (new % rpb) * n + new // rpb      # perm[new_row] = old_task
         inv = (new % n) * rpb + new // n         # inv[old_task] = new_row
         rec = {"Bp": Bp, "n_dev": n}
-        for a in arrays:
-            if np.ndim(a) == 1 and getattr(np.asarray(a).dtype, "kind",
-                                           "") == "i":
-                rec["real"] = int(np.count_nonzero(np.asarray(a)))
-                break
+        if real is not None:
+            rec["real"] = int(real)
+        else:
+            for a in arrays:
+                if np.ndim(a) == 1 and getattr(np.asarray(a).dtype, "kind",
+                                               "") == "i":
+                    rec["real"] = int(np.count_nonzero(np.asarray(a)))
+                    break
         out = []
         for a in arrays:
             spec = P("data", *([None] * (np.ndim(a) - 1)))
@@ -393,6 +419,19 @@ class BatchAlignmentEngine(AlignmentEngine):
         import os
         import time
         dbg = os.environ.get("LARIAT_WAVE_DEBUG") == "1"
+        # resident feed (default): upload the batch's reads once + ~48 B
+        # task descriptors per wave; q/t tiles are gathered on device from
+        # reads + the engine-cached 2-bit pac (ops/resident.py). The
+        # materialized-buffer path remains as LARIAT_NO_RESIDENT=1.
+        use_res = (os.environ.get("LARIAT_NO_RESIDENT") != "1"
+                   and hasattr(sess.lib, "a1s_fill_desc"))
+        if use_res:
+            from ..ops import resident
+            reads_res = resident.put_reads(qs)
+            pac_words, l_pac = self._pac_resident()
+            import jax.numpy as jnp
+            mat_d = jnp.asarray(ksw.fill_score_matrix(
+                opt.match_score, opt.mismatch_penalty))
         try:
             mat = np.asarray(ksw.fill_score_matrix(opt.match_score,
                                                    opt.mismatch_penalty))
@@ -404,41 +443,72 @@ class BatchAlignmentEngine(AlignmentEngine):
                 tiers = (self._tier_plan(max(
                     (len(s) for s in seqs), default=64))["ext"]
                     if self.use_pallas else {})
-                q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
-                (q, qlen, t, tlen, h0, w), inv = self._shard_wave(
-                    q, qlen, t, tlen, h0, w)
                 bonus = opt.pen_clip5 if sess.phase() == 0 else opt.pen_clip3
-                kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
-                          o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins,
-                          end_bonus=bonus, zdrop=opt.zdrop)
                 t_dev = time.time()
-                if self.use_pallas:
-                    from ..ops.sw_extend_pallas import extend_batch_pallas
-                    res = extend_batch_pallas(
-                        q, qlen, t, tlen, mat, w, h0,
-                        match_sc=opt.match_score,
-                        mismatch_sc=-opt.mismatch_penalty, packed=True, **kw)
+                up_b = 0
+                if use_res:
+                    (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w,
+                     Lq, Lt) = sess.wave_descs(**tiers)
+                    if 2 * l_pac < 2**31 - 2:
+                        tstart = tstart.astype(np.int32)
+                        qstart = qstart.astype(np.int32)
+                    nreal = int(np.count_nonzero(qlen))
+                    (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w), \
+                        inv = self._shard_wave(
+                            rid, qstart, qdir, qlen, tstart, tdir, tlen,
+                            h0, w, real=nreal)
+                    t_dev = time.time()
+                    from ..ops.resident import extend_wave_resident
+                    res = extend_wave_resident(
+                        reads_res.codes, pac_words, l_pac, rid, qstart,
+                        qdir, qlen, tstart, tdir, tlen, h0, w, mat_d,
+                        Lq=Lq, Lt=Lt,
+                        opt_key=(opt.gap_open_del, opt.gap_extend_del,
+                                 opt.gap_open_ins, opt.gap_extend_ins,
+                                 bonus, opt.zdrop, opt.match_score,
+                                 -opt.mismatch_penalty),
+                        use_pallas=self.use_pallas)
+                    up_b = sum(np.asarray(a).nbytes for a in
+                               (rid, qstart, qdir, qlen, tstart, tdir,
+                                tlen, h0, w))
+                    shape = (len(qlen), Lq, Lt)
                 else:
-                    res = sw_batch.extend_batch(q, qlen, t, tlen, mat, w, h0,
-                                                packed=True, **kw)
+                    q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
+                    (q, qlen, t, tlen, h0, w), inv = self._shard_wave(
+                        q, qlen, t, tlen, h0, w)
+                    kw = dict(o_del=opt.gap_open_del,
+                              e_del=opt.gap_extend_del,
+                              o_ins=opt.gap_open_ins,
+                              e_ins=opt.gap_extend_ins,
+                              end_bonus=bonus, zdrop=opt.zdrop)
+                    t_dev = time.time()
+                    if self.use_pallas:
+                        from ..ops.sw_extend_pallas import extend_batch_pallas
+                        res = extend_batch_pallas(
+                            q, qlen, t, tlen, mat, w, h0,
+                            match_sc=opt.match_score,
+                            mismatch_sc=-opt.mismatch_penalty, packed=True,
+                            **kw)
+                    else:
+                        res = sw_batch.extend_batch(q, qlen, t, tlen, mat,
+                                                    w, h0, packed=True, **kw)
+                    up_b = sum(np.asarray(a).nbytes
+                               for a in (q, t, qlen, tlen, h0, w))
+                    shape = (len(qlen), q.shape[1], t.shape[1])
                 t_disp = time.time()
                 rows = np.asarray(res)   # ONE transfer per wave: (6+, B)
                 if inv is not None:
                     rows = rows[:, inv]  # undo the shard round-robin
                 if WAVE_TRACE:
-                    _wtrace("ext", (len(qlen), q.shape[1], t.shape[1]),
-                            t_dev - t_wave, t_disp - t_dev,
-                            time.time() - t_disp,
-                            sum(np.asarray(a).nbytes
-                                for a in (q, t, qlen, tlen, h0, w)),
-                            rows.nbytes)
+                    _wtrace("ext", shape, t_dev - t_wave, t_disp - t_dev,
+                            time.time() - t_disp, up_b, rows.nbytes)
                 self.wave_stats["wall"] += time.time() - t_dev
                 self.wave_stats["n"] += 1
                 sess.feed(rows[0], rows[1], rows[2], rows[3], rows[4],
                           rows[5])
                 if dbg:
-                    print(f"[wave] phase={sess.phase()} B={len(qlen)} "
-                          f"q={q.shape[1]} t={t.shape[1]} "
+                    print(f"[wave] phase={sess.phase()} B={shape[0]} "
+                          f"q={shape[1]} t={shape[2]} "
                           f"{time.time() - t_wave:.2f}s", flush=True)
             return sess.finish()
         finally:

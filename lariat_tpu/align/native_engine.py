@@ -391,6 +391,8 @@ class Align1Session:
         lib.a1s_start.argtypes = [p, i64, p, i64, p, p, i64, p, p, p, p,
                                   p, p, p]
         lib.a1s_fill.argtypes = [p, p, i64, p, i64, p, p, p, p]
+        if hasattr(lib, "a1s_fill_desc"):
+            lib.a1s_fill_desc.argtypes = [p] * 10
         lib.a1s_feed.argtypes = [p, p, p, p, p, p, p, p]
         lib.a1s_finish.restype = i64
         lib.a1s_finish.argtypes = [p, p, i64, p, p]
@@ -476,6 +478,38 @@ class Align1Session:
                           qlen.ctypes.data, tlen.ctypes.data,
                           h0.ctypes.data, w.ctypes.data)
         return q, qlen, t, tlen, h0, w
+
+    def wave_descs(self, pad_b=None, pad_len=64, q_tiers=None,
+                   t_tiers=None):
+        """Descriptor form of wave_arrays: per-task slice descriptors
+        (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w), padded like
+        wave_arrays plus (Lq, Lt) tier dims. The device reconstructs q/t
+        from resident reads + pac (ops/resident.py) — ~48 B/task upload
+        instead of ~3 KB. Padded tasks have qlen = tlen = 0."""
+        if not hasattr(self.lib, "a1s_fill_desc"):
+            return None
+        B = int(self.info[0])
+        maxq = max(int(self.info[1]), 1)
+        maxt = max(int(self.info[2]), 1)
+        Lq = _tier(maxq, q_tiers) if q_tiers else -(-maxq // pad_len) * pad_len
+        Lt = _tier(maxt, t_tiers) if t_tiers else -(-maxt // pad_len) * pad_len
+        Bp = pad_b(B) if pad_b else _pow2(B)
+        rid = np.zeros(Bp, np.int32)
+        qstart = np.zeros(Bp, np.int64)
+        qdir = np.ones(Bp, np.int32)
+        qlen = np.zeros(Bp, np.int32)
+        tstart = np.zeros(Bp, np.int64)
+        tdir = np.ones(Bp, np.int32)
+        tlen = np.zeros(Bp, np.int32)
+        h0 = np.zeros(Bp, np.int32)
+        w = np.zeros(Bp, np.int32)
+        self.lib.a1s_fill_desc(
+            self.handle, rid.ctypes.data, qstart.ctypes.data,
+            qdir.ctypes.data, qlen.ctypes.data, tstart.ctypes.data,
+            tdir.ctypes.data, tlen.ctypes.data, h0.ctypes.data,
+            w.ctypes.data)
+        return (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w,
+                Lq, Lt)
 
     def feed(self, score, qle, tle, gtle, gscore, max_off) -> int:
         """Feed device results (any array-likes, first pending() entries

@@ -438,7 +438,7 @@ def run(argv=None):
         print(f"tie-sensitive picks: {stats.tie_picks}/{stats.picks} "
               f"({stats.tie_picks / stats.picks:.4f})")
     if stats.rfa_wall:
-        jit_on = os.environ.get("LARIAT_RFA_JIT", "") != "0"
+        jit_on = os.environ.get("LARIAT_RFA_JIT") not in (None, "", "0")
         print(f"rfa wall: {stats.rfa_wall:.2f}s across workers "
               f"(rows: {'jit' if jit_on else 'numpy'})")
     if args.simulated and stats.total:

@@ -1277,6 +1277,45 @@ void a1s_fill(void* h, uint8_t* qbuf, int64_t qstride, uint8_t* tbuf,
   }
 }
 
+// Descriptor variant of a1s_fill: instead of materializing the (reversed)
+// query/target byte buffers, emit per-task slice descriptors the device
+// reconstructs from HBM-resident reads + 2-bit pac (ops/resident.py):
+//   query[k]  = read[qstart + k*qdir],  k in [0, qlen)
+//   target[k] = fmd_code(tstart + k*tdir)
+// ~48 B/task upload instead of ~3 KB — the wave upload was the dominant
+// cost over the remote-TPU tunnel.
+void a1s_fill_desc(void* h, int32_t* rid, int64_t* qstart, int32_t* qdir,
+                   int32_t* qlen, int64_t* tstart, int32_t* tdir,
+                   int32_t* tlen, int32_t* h0, int32_t* w) {
+  Session* S = (Session*)h;
+  for (size_t i = 0; i < S->wave.size(); ++i) {
+    const Task& t = S->wave[i];
+    const SessChain& sc = S->rd[t.read].chains[t.chain];
+    const Seed& s = sc.chain.seeds[t.seed];
+    const SeedExt& e = sc.ext[t.seed];
+    int64_t ql, tl;
+    S->task_dims(t, &ql, &tl);
+    rid[i] = t.read;
+    qlen[i] = (int32_t)ql;
+    tlen[i] = (int32_t)tl;
+    if (t.side == 0) {
+      qstart[i] = s.qbeg - 1;
+      qdir[i] = -1;
+      tstart[i] = s.rbeg - 1;
+      tdir[i] = -1;
+      h0[i] = (int32_t)(s.len * S->o.match);
+      w[i] = (int32_t)(S->o.band_width << e.lvl_l);
+    } else {
+      qstart[i] = s.qbeg + s.len;
+      qdir[i] = 1;
+      tstart[i] = s.rbeg + s.len;
+      tdir[i] = 1;
+      h0[i] = (int32_t)e.sc0;
+      w[i] = (int32_t)(S->o.band_width << e.lvl_r);
+    }
+  }
+}
+
 // Feed the device results for the current wave; computes the next wave
 // (ladder escalations, then the right wave) and refills wave_info.
 void a1s_feed(void* h, const int32_t* score, const int32_t* qle,
