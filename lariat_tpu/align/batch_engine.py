@@ -911,7 +911,7 @@ class BatchAlignmentEngine(AlignmentEngine):
                          reg.w))
             live.append(idx)
         st = {"tasks": tasks, "out": out, "rows": rows, "live": live,
-              "sess": None}
+              "sess": None, "reads": reads, "reads_res": None}
         if rows:
             st["sess"] = native_engine.Reg2AlnSession(
                 self.fm, self.opt, reads, rows)
@@ -938,8 +938,31 @@ class BatchAlignmentEngine(AlignmentEngine):
             if pad:
                 tiers["pad_b"] = lambda n: max(pad, _pow2_bucket(n))
         t_fill = time.time()
-        q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
-        (q, qlen, t, tlen, wv), inv = self._shard_wave(q, qlen, t, tlen, wv)
+        import os as _os2
+        use_res = (_os2.environ.get("LARIAT_NO_RESIDENT") != "1"
+                   and hasattr(sess.lib, "r2s_fill_desc"))
+        if use_res:
+            from ..ops.resident import build_qt, put_reads
+            if st["reads_res"] is None:
+                st["reads_res"] = put_reads(st["reads"])
+            pac_words, l_pac = self._pac_resident()
+            descs = sess.wave_descs(**tiers)
+            (rid, qstart, qdir, qlen, tstart, tdir, tlen, wv,
+             Lq_, Lt_) = descs
+            if 2 * l_pac < 2**31 - 2:
+                tstart = tstart.astype(np.int32)
+                qstart = qstart.astype(np.int32)
+            nreal = int(sess.pending())
+            (rid, qstart, qdir, qlen, tstart, tdir, tlen, wv), inv = \
+                self._shard_wave(rid, qstart, qdir, qlen, tstart, tdir,
+                                 tlen, wv, real=nreal)
+            q, t = build_qt(st["reads_res"].codes, pac_words, l_pac,
+                            rid, qstart, qdir, tstart, tdir,
+                            Lq=Lq_, Lt=Lt_)
+        else:
+            q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
+            (q, qlen, t, tlen, wv), inv = self._shard_wave(q, qlen, t,
+                                                           tlen, wv)
         kw = dict(o_del=opt.gap_open_del, e_del=opt.gap_extend_del,
                   o_ins=opt.gap_open_ins, e_ins=opt.gap_extend_ins)
         if self.use_pallas:
@@ -957,10 +980,13 @@ class BatchAlignmentEngine(AlignmentEngine):
             blob = sw_global_pallas.traceback_ops_fused(
                 res.z, qlen, tlen, wv, res.score, S=S, packed_layout=False)
             if WAVE_TRACE:
-                _wtrace("r2a.d", (len(qlen), q.shape[1], t.shape[1]),
-                        t_call - t_fill, time.time() - t_call, 0.0,
+                up_b = (sum(np.asarray(a).nbytes for a in descs[:8])
+                        if use_res else
                         sum(np.asarray(a).nbytes
-                            for a in (q, t, qlen, tlen, wv)), 0)
+                            for a in (q, t, qlen, tlen, wv)))
+                _wtrace("r2a.d", (q.shape[0], q.shape[1], t.shape[1]),
+                        t_call - t_fill, time.time() - t_call, 0.0,
+                        up_b, 0)
             return ("pallas", blob, S, res, qlen, tlen, wv, inv)
         from ..ops import sw_global_batch
         n_col = min(q.shape[1], 2 * (opt.band_width << 2) + 1)

@@ -572,6 +572,8 @@ class Reg2AlnSession:
         lib.r2s_start.restype = p
         lib.r2s_start.argtypes = [p, i64, p, i64, p, p, p, i64, p, p]
         lib.r2s_fill.argtypes = [p, p, i64, p, i64, p, p, p]
+        if hasattr(lib, "r2s_fill_desc"):
+            lib.r2s_fill_desc.argtypes = [p] * 9
         lib.r2s_feed.argtypes = [p, p, p, i64, p, p]
         lib.r2s_finish.restype = i64
         lib.r2s_finish.argtypes = [p, p, p, i64]
@@ -630,6 +632,33 @@ class Reg2AlnSession:
         self.lib.r2s_fill(self.handle, q.ctypes.data, Lq, t.ctypes.data, Lt,
                           qlen.ctypes.data, tlen.ctypes.data, w.ctypes.data)
         return q, qlen, t, tlen, w
+
+    def wave_descs(self, pad_b=None, pad_len=64, q_tiers=None,
+                   t_tiers=None):
+        """Descriptor form of wave_arrays (see Align1Session.wave_descs).
+        Pad lanes are 1-base dummies like wave_arrays. Returns
+        (rid, qstart, qdir, qlen, tstart, tdir, tlen, w, Lq, Lt)."""
+        if not hasattr(self.lib, "r2s_fill_desc"):
+            return None
+        B = int(self.info[0])
+        maxq = max(int(self.info[1]), 1)
+        maxt = max(int(self.info[2]), 1)
+        Lq = _tier(maxq, q_tiers) if q_tiers else -(-maxq // pad_len) * pad_len
+        Lt = _tier(maxt, t_tiers) if t_tiers else -(-maxt // pad_len) * pad_len
+        Bp = pad_b(B) if pad_b else _pow2(B)
+        rid = np.zeros(Bp, np.int32)
+        qstart = np.zeros(Bp, np.int64)
+        qdir = np.ones(Bp, np.int32)
+        qlen = np.ones(Bp, np.int32)   # pad lanes: 1-base dummies
+        tstart = np.zeros(Bp, np.int64)
+        tdir = np.ones(Bp, np.int32)
+        tlen = np.ones(Bp, np.int32)
+        w = np.ones(Bp, np.int32)
+        self.lib.r2s_fill_desc(
+            self.handle, rid.ctypes.data, qstart.ctypes.data,
+            qdir.ctypes.data, qlen.ctypes.data, tstart.ctypes.data,
+            tdir.ctypes.data, tlen.ctypes.data, w.ctypes.data)
+        return rid, qstart, qdir, qlen, tstart, tdir, tlen, w, Lq, Lt
 
     def feed(self, score, cig_mat, nops) -> int:
         """score int32[B+]; cig_mat (B+, 2*cap) int32 op/len pairs;

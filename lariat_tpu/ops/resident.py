@@ -81,6 +81,16 @@ def fetch_fmd_batch(pac_words: jnp.ndarray, l_pac, tstart: jnp.ndarray,
     return jnp.where(inb, c, 4)
 
 
+@functools.partial(jax.jit, static_argnames=("Lq", "Lt"))
+def build_qt(reads: jnp.ndarray, pac_words: jnp.ndarray, l_pac,
+             rid, qstart, qdir, tstart, tdir, Lq: int, Lt: int):
+    """Reconstruct a wave's (q, t) int32 tiles on device from descriptors
+    (reg2aln and any kernel that takes materialized q/t)."""
+    q = gather_reads(reads, rid, qstart, qdir, Lq)
+    t = fetch_fmd_batch(pac_words, l_pac, tstart, tdir, Lt)
+    return q, t
+
+
 @functools.partial(jax.jit, static_argnames=("Lq", "Lt", "opt_key",
                                              "use_pallas"))
 def extend_wave_resident(reads: jnp.ndarray, pac_words: jnp.ndarray, l_pac,

@@ -1427,7 +1427,7 @@ namespace {
 
 struct R2Task {
   int64_t qb = 0, qe = 0, rb = 0, re = 0, truesc = 0;
-  int64_t l_full = 0;
+  int64_t l_full = 0, ridx = 0;
   std::vector<uint8_t> qbuf, rseq;   // oriented once (reversed when rb>=l_pac)
   int64_t w2 = 0, last_sc = -((int64_t)1 << 30);
   int iter = 0;
@@ -1531,6 +1531,7 @@ void* r2s_start(const uint8_t* pac, int64_t l_pac, const int64_t* contig_offs,
     const int64_t* tk = task_rows + t * 7;
     R2Task& T = S->tasks[t];
     int64_t ridx = tk[0];
+    T.ridx = ridx;
     T.qb = tk[1];
     T.qe = tk[2];
     T.rb = tk[3];
@@ -1577,6 +1578,35 @@ void r2s_fill(void* h, uint8_t* qbuf, int64_t qstride, uint8_t* tbuf,
     w[i] = (int32_t)T.w2;
     std::copy(T.qbuf.begin(), T.qbuf.end(), qbuf + i * qstride);
     std::copy(T.rseq.begin(), T.rseq.end(), tbuf + i * tstride);
+  }
+}
+
+// Descriptor variant of r2s_fill (see a1s_fill_desc): query is a plain
+// read slice and target a doubled-text window, both reversed together
+// when the region sits on the reverse strand (rb >= l_pac) — expressed
+// as direction flags the device gather applies.
+void r2s_fill_desc(void* h, int32_t* rid, int64_t* qstart, int32_t* qdir,
+                   int32_t* qlen, int64_t* tstart, int32_t* tdir,
+                   int32_t* tlen, int32_t* w) {
+  R2Session* S = (R2Session*)h;
+  int64_t l_pac = S->g.l_pac;
+  for (size_t i = 0; i < S->wave.size(); ++i) {
+    const R2Task& T = S->tasks[S->wave[i]];
+    rid[i] = (int32_t)T.ridx;
+    qlen[i] = (int32_t)(T.qe - T.qb);
+    tlen[i] = (int32_t)(T.re - T.rb);
+    w[i] = (int32_t)T.w2;
+    if (T.rb >= l_pac) {
+      qstart[i] = T.qe - 1;
+      qdir[i] = -1;
+      tstart[i] = T.re - 1;
+      tdir[i] = -1;
+    } else {
+      qstart[i] = T.qb;
+      qdir[i] = 1;
+      tstart[i] = T.rb;
+      tdir[i] = 1;
+    }
   }
 }
 
