@@ -449,28 +449,23 @@ class BatchAlignmentEngine(AlignmentEngine):
                 if use_res:
                     (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w,
                      Lq, Lt) = sess.wave_descs(**tiers)
-                    if 2 * l_pac < 2**31 - 2:
-                        tstart = tstart.astype(np.int32)
-                        qstart = qstart.astype(np.int32)
+                    from ..ops.resident import (extend_wave_resident,
+                                                pack_desc)
+                    desc = pack_desc(rid, qstart, qdir, qlen, tstart,
+                                     tdir, tlen, h0, w, l_pac)
                     nreal = int(np.count_nonzero(qlen))
-                    (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w), \
-                        inv = self._shard_wave(
-                            rid, qstart, qdir, qlen, tstart, tdir, tlen,
-                            h0, w, real=nreal)
+                    (desc,), inv = self._shard_wave(desc, real=nreal)
                     t_dev = time.time()
-                    from ..ops.resident import extend_wave_resident
                     res = extend_wave_resident(
-                        reads_res.codes, pac_words, l_pac, rid, qstart,
-                        qdir, qlen, tstart, tdir, tlen, h0, w, mat_d,
+                        reads_res.codes, pac_words, l_pac, desc, mat_d,
                         Lq=Lq, Lt=Lt,
                         opt_key=(opt.gap_open_del, opt.gap_extend_del,
                                  opt.gap_open_ins, opt.gap_extend_ins,
                                  bonus, opt.zdrop, opt.match_score,
                                  -opt.mismatch_penalty),
                         use_pallas=self.use_pallas)
-                    up_b = sum(np.asarray(a).nbytes for a in
-                               (rid, qstart, qdir, qlen, tstart, tdir,
-                                tlen, h0, w))
+                    up_b = desc.size * desc.dtype.itemsize \
+                        if hasattr(desc, "dtype") else 0
                     shape = (len(qlen), Lq, Lt)
                 else:
                     q, qlen, t, tlen, h0, w = sess.wave_arrays(**tiers)
@@ -942,23 +937,22 @@ class BatchAlignmentEngine(AlignmentEngine):
         use_res = (_os2.environ.get("LARIAT_NO_RESIDENT") != "1"
                    and hasattr(sess.lib, "r2s_fill_desc"))
         if use_res:
-            from ..ops.resident import build_qt, put_reads
+            from ..ops.resident import build_qt, pack_desc, put_reads
             if st["reads_res"] is None:
                 st["reads_res"] = put_reads(st["reads"])
             pac_words, l_pac = self._pac_resident()
             descs = sess.wave_descs(**tiers)
             (rid, qstart, qdir, qlen, tstart, tdir, tlen, wv,
              Lq_, Lt_) = descs
-            if 2 * l_pac < 2**31 - 2:
-                tstart = tstart.astype(np.int32)
-                qstart = qstart.astype(np.int32)
+            desc = pack_desc(rid, qstart, qdir, qlen, tstart, tdir, tlen,
+                             np.zeros_like(wv), wv, l_pac)
             nreal = int(sess.pending())
-            (rid, qstart, qdir, qlen, tstart, tdir, tlen, wv), inv = \
-                self._shard_wave(rid, qstart, qdir, qlen, tstart, tdir,
-                                 tlen, wv, real=nreal)
+            (desc,), inv = self._shard_wave(desc, real=nreal)
             q, t = build_qt(st["reads_res"].codes, pac_words, l_pac,
-                            rid, qstart, qdir, tstart, tdir,
-                            Lq=Lq_, Lt=Lt_)
+                            desc, Lq=Lq_, Lt=Lt_)
+            qlen = desc[:, 3].astype(np.int32)
+            tlen = desc[:, 6].astype(np.int32)
+            wv = desc[:, 8].astype(np.int32)
         else:
             q, qlen, t, tlen, wv = sess.wave_arrays(**tiers)
             (q, qlen, t, tlen, wv), inv = self._shard_wave(q, qlen, t,

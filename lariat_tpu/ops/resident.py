@@ -81,28 +81,53 @@ def fetch_fmd_batch(pac_words: jnp.ndarray, l_pac, tstart: jnp.ndarray,
     return jnp.where(inb, c, 4)
 
 
+# packed task-descriptor layout: ONE (B, 9) device upload per wave — the
+# tunnel's per-transfer latency dwarfs its bandwidth at these sizes, so
+# nine small arrays cost ~9 round trips where one costs one.
+# cols: [rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w]
+D_RID, D_QS, D_QD, D_QL, D_TS, D_TD, D_TL, D_H0, D_W = range(9)
+
+
+def pack_desc(rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w,
+              l_pac: int):
+    """Stack descriptors into one (B, 9) int32/int64 matrix (int32 when
+    the doubled-genome coordinate fits)."""
+    import numpy as np
+    dt = np.int32 if 2 * l_pac < 2**31 - 2 else np.int64
+    return np.stack([np.asarray(a).astype(dt) for a in
+                     (rid, qstart, qdir, qlen, tstart, tdir, tlen, h0, w)],
+                    axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("Lq", "Lt"))
 def build_qt(reads: jnp.ndarray, pac_words: jnp.ndarray, l_pac,
-             rid, qstart, qdir, tstart, tdir, Lq: int, Lt: int):
-    """Reconstruct a wave's (q, t) int32 tiles on device from descriptors
-    (reg2aln and any kernel that takes materialized q/t)."""
-    q = gather_reads(reads, rid, qstart, qdir, Lq)
-    t = fetch_fmd_batch(pac_words, l_pac, tstart, tdir, Lt)
+             desc: jnp.ndarray, Lq: int, Lt: int):
+    """Reconstruct a wave's (q, t) int32 tiles on device from the packed
+    descriptor matrix (reg2aln and any kernel that takes materialized
+    q/t)."""
+    q = gather_reads(reads, desc[:, D_RID], desc[:, D_QS], desc[:, D_QD],
+                     Lq)
+    t = fetch_fmd_batch(pac_words, l_pac, desc[:, D_TS], desc[:, D_TD], Lt)
     return q, t
 
 
 @functools.partial(jax.jit, static_argnames=("Lq", "Lt", "opt_key",
                                              "use_pallas"))
 def extend_wave_resident(reads: jnp.ndarray, pac_words: jnp.ndarray, l_pac,
-                         rid, qstart, qdir, qlen, tstart, tdir, tlen,
-                         h0, w, mat, Lq: int, Lt: int, opt_key: tuple,
-                         use_pallas: bool):
+                         desc: jnp.ndarray, mat, Lq: int, Lt: int,
+                         opt_key: tuple, use_pallas: bool):
     """One extend wave fed from resident data: gather + banded extend,
-    single fused jit, one packed (8, B) download."""
+    single fused jit, one packed descriptor upload and one packed (8, B)
+    download."""
     (o_del, e_del, o_ins, e_ins, end_bonus, zdrop, match_sc,
      mismatch_sc) = opt_key
-    q = gather_reads(reads, rid, qstart, qdir, Lq)
-    t = fetch_fmd_batch(pac_words, l_pac, tstart, tdir, Lt)
+    q = gather_reads(reads, desc[:, D_RID], desc[:, D_QS], desc[:, D_QD],
+                     Lq)
+    t = fetch_fmd_batch(pac_words, l_pac, desc[:, D_TS], desc[:, D_TD], Lt)
+    qlen = desc[:, D_QL].astype(jnp.int32)
+    tlen = desc[:, D_TL].astype(jnp.int32)
+    h0 = desc[:, D_H0].astype(jnp.int32)
+    w = desc[:, D_W].astype(jnp.int32)
     if use_pallas:
         from .sw_extend_pallas import extend_batch_pallas
         return extend_batch_pallas(
