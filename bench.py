@@ -81,17 +81,24 @@ _TIE_RE = re.compile(r"tie-sensitive picks: (\d+)/(\d+) \(([0-9.]+)\)")
 
 
 def _run_cli(fa: str, reads: str, outdir: str, use_device: str,
-             extra=(), threads: int = 5) -> dict:
-    """One CLI invocation; returns {pairs_s, wall_s, pairs} or {error}."""
+             extra=(), threads: int = 5, timeout_s: float = 900) -> dict:
+    """One CLI invocation; returns {pairs_s, wall_s, pairs} or {error}.
+
+    Bounded: a wedged TPU tunnel can hang a device run indefinitely, and
+    one hung run must never eat the whole bench (VERDICT r4 item 8)."""
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "lariat_tpu.cli", "-reads", reads,
-         "-genome", fa, "-output", outdir, "-threads", str(threads),
-         "-use_device", use_device, *extra],
-        env={**os.environ, "PYTHONPATH": REPO + (
-             ":" + os.environ["PYTHONPATH"]
-             if os.environ.get("PYTHONPATH") else "")},
-        capture_output=True, text=True, timeout=7200)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "lariat_tpu.cli", "-reads", reads,
+             "-genome", fa, "-output", outdir, "-threads", str(threads),
+             "-use_device", use_device, *extra],
+            env={**os.environ, "PYTHONPATH": REPO + (
+                 ":" + os.environ["PYTHONPATH"]
+                 if os.environ.get("PYTHONPATH") else "")},
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout_s:.0f}s "
+                         "(tunnel wedged?)"}
     wall = time.time() - t0
     m = _RATE_RE.search(proc.stdout)
     if proc.returncode != 0 or not m:
@@ -145,6 +152,8 @@ def _device_available(timeout_s: float = 150.0) -> bool:
 def _median_of(runs: list) -> dict:
     """Median-by-pairs_s run dict (VERDICT r2 item 7: median of >=3 warm
     runs is the reported number; the run list stays in detail)."""
+    if not runs:
+        return {"error": "no runs"}
     ok = sorted((r for r in runs if "pairs_s" in r),
                 key=lambda r: r["pairs_s"])
     if not ok:
@@ -198,10 +207,15 @@ def _hg38_runs(workdir: str, have_device: bool) -> dict:
     out["device_available"] = have_device
     for mode in (("off", "on") if have_device else ("off",)):
         runs = []
+        errs = 0
         for i in range(4):   # run 0 = warmup, 1..3 measured
             r = _run_cli(fa, reads, os.path.join(
-                workdir, f"hg38_{mode}{i}"), mode, extra)
+                workdir, f"hg38_{mode}{i}"), mode, extra,
+                timeout_s=1200 if (mode == "on" and i == 0) else 900)
             runs.append(r)
+            errs = errs + 1 if "error" in r else 0
+            if errs >= 2:
+                break        # tunnel dead: stop burning bench budget
         key = "hg38_host_5w" if mode == "off" else "hg38_device_5w"
         out[key] = _median_of(runs[1:])
         out[key + "_runs"] = [r.get("pairs_s", 0.0) for r in runs]
@@ -212,7 +226,7 @@ def _hg38_runs(workdir: str, have_device: bool) -> dict:
     if os.path.isdir(c20 + ".lariat.d") and os.path.exists(c20_reads):
         out["chr20_1m"] = _run_cli(
             c20, c20_reads, os.path.join(workdir, "chr20"),
-            "on" if have_device else "off")
+            "on" if have_device else "off", timeout_s=2400)
     return out
 
 
@@ -308,10 +322,14 @@ def main() -> None:
     host = _median_of(host_runs[1:])
     host["runs"] = [r.get("pairs_s", 0.0) for r in host_runs]
     if have_device:
+        errs = 0
         for i in range(4):
-            dev_runs.append(_run_cli(fa, reads,
-                                     os.path.join(workdir, f"out_dev{i}"),
-                                     "on"))
+            r = _run_cli(fa, reads, os.path.join(workdir, f"out_dev{i}"),
+                         "on", timeout_s=1200 if i == 0 else 600)
+            dev_runs.append(r)
+            errs = errs + 1 if "error" in r else 0
+            if errs >= 2:
+                break
         dev = _median_of(dev_runs[1:])
         dev["runs"] = [r.get("pairs_s", 0.0) for r in dev_runs]
     else:
