@@ -313,7 +313,7 @@ def run(argv=None):
                 r = rate_box["pairs_s"]
                 if r is None:
                     return 4096
-                return max(512, min(8192, int(r * 2.0)))
+                return max(512, min(16384, int(r * 2.0)))
 
             def drain(block: bool):
                 while futs and (block or futs[0][0].done()):

@@ -181,21 +181,251 @@ def _extend_kernel(q_ref, t_ref, params_ref, out_ref, ehh_ref, ehe_ref,
     out_ref[:] = outv
 
 
+def _extend_kernel_v2(q_ref, t_ref, params_ref, out_ref, ehh_ref, ehe_ref,
+                      *, Lt: int, o_del: int, e_del: int, o_ins: int,
+                      e_ins: int, zdrop: int, match_sc: int,
+                      mismatch_sc: int, n_sc: int):
+    """v2 of _extend_kernel: same math, restructured for the chip.
+
+    - t_ref is (Lt//8, 8, T): the row loop walks 8-row groups via dynamic
+      LEADING-dim indexing (supported by Mosaic) + static in-group slices,
+      replacing v1's per-row (Lt, T) mask-reduce extraction (which cost
+      about as much as the DP itself);
+    - groups beyond every lane's tlen are skipped with a scalar branch;
+    - loop-invariant iotas hoisted.
+    Driven by a grid over lane chunks (one pallas_call per wave instead
+    of B/128 sequential calls).
+    """
+    Lq, T = q_ref.shape
+    G = t_ref.shape[0]
+    oe_del = o_del + e_del
+    oe_ins = o_ins + e_ins
+    qlen = params_ref[0:1, :]
+    tlen = params_ref[1:2, :]
+    w = params_ref[2:3, :]
+    h0 = params_ref[3:4, :]
+    z = jnp.int32(0)
+    negv = jnp.int32(NEG)
+    one = jnp.int32(1)
+    k1024 = jnp.int32(1024)
+    jid1 = jax.lax.broadcasted_iota(jnp.int32, (Lq + 1, T), 0)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (Lq, T), 0)
+    row0 = h0 - oe_ins - (jid1 - 1) * e_ins
+    row0 = jnp.where(row0 > 0, row0, z)
+    row0 = jnp.where(jid1 == 0, h0, row0)
+    row0 = jnp.where(jid1 <= qlen, row0, z)
+    ehh_ref[:] = row0
+    ehe_ref[:] = jnp.zeros((Lq + 1, T), jnp.int32)
+    qc = q_ref[:]
+    q_is_n = qc >= 4
+    tmax = jnp.max(tlen)
+
+    state0 = (jnp.where((tlen > 0) & (qlen > 0), one, z),  # alive
+              h0,                                    # max_score
+              jnp.full((1, T), -1, jnp.int32),       # max_i
+              jnp.full((1, T), -1, jnp.int32),       # max_j
+              jnp.full((1, T), -1, jnp.int32),       # max_ie
+              jnp.full((1, T), -1, jnp.int32),       # gscore
+              jnp.zeros((1, T), jnp.int32))          # max_off
+
+    def row_step(i32, tcode, st):
+        alive, max_score, max_i, max_j, max_ie, gscore, max_off = st
+        in_row = (alive != 0) & (i32 < tlen)
+        beg = jnp.maximum(i32 - w, z)
+        end = jnp.minimum(i32 + w + 1, qlen)
+        band = (jr >= beg) & (jr < end)
+        h1_init = jnp.where(beg == 0,
+                            jnp.maximum(h0 - (o_del + e_del * (i32 + 1)), 0),
+                            z)
+        is_n = q_is_n | (tcode >= 4)
+        sub = jnp.where(is_n, jnp.int32(n_sc),
+                        jnp.where(qc == tcode, jnp.int32(match_sc),
+                                  jnp.int32(mismatch_sc)))
+        M = ehh_ref[:Lq, :]
+        E = ehe_ref[:Lq, :]
+        M = jnp.where(M != 0, M + sub, z)
+        M = jnp.where(band, M, z)
+        mfloor = jnp.maximum(M - oe_ins, 0)
+        a = jnp.where(band, mfloor + jr * e_ins, negv)
+        run = _cummax_sublanes(a)
+        F = jnp.concatenate(
+            [jnp.full((1, T), NEG, jnp.int32), run[:-1] - jr[:-1] * e_ins],
+            axis=0)
+        F = jnp.maximum(F, 0)
+        F = jnp.where(jr == beg, z, F)
+        h = jnp.maximum(jnp.maximum(M, jnp.where(band, E, z)), F)
+        h = jnp.where(band, h, z)
+        lastmask = (jr == jnp.maximum(end - 1, z)).astype(jnp.int32)
+        h_last = jnp.max(h * lastmask, axis=0, keepdims=True)
+        nonempty = beg < end
+        at_qend = in_row & ((nonempty & (end == qlen))
+                            | ((~nonempty) & (beg == qlen)))
+        h_last = jnp.where(nonempty, h_last, z)
+        better_g = at_qend & (gscore < h_last)
+        gscore = jnp.where(better_g, h_last, gscore)
+        max_ie = jnp.where(better_g, i32, max_ie)
+        pmax = jnp.max(h * k1024 + jr, axis=0, keepdims=True)
+        m_best = pmax // k1024
+        mj = pmax - m_best * k1024
+        improved = in_row & (m_best > max_score)
+        new_off = jnp.maximum(max_off, jnp.abs(mj - i32))
+        max_off = jnp.where(improved, new_off, max_off)
+        max_score_n = jnp.where(improved, m_best, max_score)
+        max_i_n = jnp.where(improved, i32, max_i)
+        max_j_n = jnp.where(improved, mj, max_j)
+        di = i32 - max_i
+        dj = mj - max_j
+        del_side = di > dj
+        zcond = ((del_side & (max_score - m_best - (di - dj) * e_del > zdrop))
+                 | ((~del_side)
+                    & (max_score - m_best - (dj - di) * e_ins > zdrop)))
+        died = in_row & ((m_best == 0) | ((~improved) & zcond))
+        alive_n = jnp.where((alive != 0) & (i32 + 1 < tlen) & (~died), one, z)
+        h_shift = jnp.concatenate([jnp.zeros((1, T), jnp.int32), h], axis=0)
+        wmask = (jid1 > beg) & (jid1 <= end)
+        ehh_new = jnp.where(wmask, h_shift, ehh_ref[:])
+        ehh_new = jnp.where(jid1 == beg, h1_init, ehh_new)
+        e_new = jnp.maximum(E - e_del, jnp.maximum(M - oe_del, 0))
+        e_pad = jnp.concatenate([e_new, jnp.zeros((1, T), jnp.int32)], axis=0)
+        emask = (jid1 >= beg) & (jid1 < end)
+        ehe_new = jnp.where(emask, e_pad, ehe_ref[:])
+        ehe_new = jnp.where(jid1 == end, z, ehe_new)
+        ehh_ref[:] = jnp.where(in_row, ehh_new, ehh_ref[:])
+        ehe_ref[:] = jnp.where(in_row, ehe_new, ehe_ref[:])
+        return (jnp.where(in_row, alive_n, alive),
+                jnp.where(in_row, max_score_n, max_score),
+                jnp.where(in_row, max_i_n, max_i),
+                jnp.where(in_row, max_j_n, max_j),
+                max_ie, gscore, max_off)
+
+    def group_step(g, st):
+        t8 = t_ref[g]                      # (8, T) dynamic leading index
+
+        def run(st):
+            for k in range(8):
+                st = row_step(g * 8 + jnp.int32(k), t8[k:k + 1, :], st)
+            return st
+
+        # rows past every lane's tlen change nothing: skip the group
+        return jax.lax.cond(g * 8 < tmax, run, lambda s: s, st)
+
+    out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), group_step, state0)
+    (alive, max_score, max_i, max_j, max_ie, gscore, max_off) = out
+    empty = qlen == 0
+    rows = [
+        jnp.where(empty, h0, max_score),
+        jnp.where(empty, z, max_j + 1),
+        jnp.where(empty, z, max_i + 1),
+        jnp.where(empty, z, max_ie + 1),
+        jnp.where(empty, h0, gscore),
+        jnp.where(empty, z, max_off),
+    ]
+    rid = jax.lax.broadcasted_iota(jnp.int32, (8, T), 0)
+    outv = jnp.zeros((8, T), jnp.int32)
+    for k, r in enumerate(rows):
+        outv = jnp.where(rid == k, r, outv)
+    out_ref[:] = outv
+
+
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
                                              "e_ins", "end_bonus", "zdrop",
                                              "tile_b", "interpret",
                                              "match_sc", "mismatch_sc",
                                              "n_sc", "packed"))
-def extend_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
-                        target: jnp.ndarray, tlen: jnp.ndarray,
-                        mat: jnp.ndarray, w: jnp.ndarray, h0: jnp.ndarray,
-                        o_del: int = 6, e_del: int = 1, o_ins: int = 6,
-                        e_ins: int = 1, end_bonus: int = 5, zdrop: int = 100,
-                        tile_b: int = LANES, interpret: bool = False,
-                        match_sc: int = 1, mismatch_sc: int = -4,
-                        n_sc: int = -1, packed: bool = False
-                        ) -> ExtendBatchResult:
-    """Pallas-accelerated ksw_extend2 over a task batch (see extend_batch).
+def extend_batch_pallas_v2(query: jnp.ndarray, qlen: jnp.ndarray,
+                           target: jnp.ndarray, tlen: jnp.ndarray,
+                           mat: jnp.ndarray, w: jnp.ndarray,
+                           h0: jnp.ndarray, o_del: int = 6, e_del: int = 1,
+                           o_ins: int = 6, e_ins: int = 1,
+                           end_bonus: int = 5, zdrop: int = 100,
+                           tile_b: int = LANES, interpret: bool = False,
+                           match_sc: int = 1, mismatch_sc: int = -4,
+                           n_sc: int = -1, packed: bool = False
+                           ) -> ExtendBatchResult:
+    """Grid-driven v2 of extend_batch_pallas (same results, one
+    pallas_call per wave, grouped target rows)."""
+    del mat
+    B, Lq = query.shape
+    Lt = target.shape[1]
+    Lt8 = -(-Lt // 8) * 8
+    query = query.astype(jnp.int32)
+    target = target.astype(jnp.int32)
+    if Lt8 != Lt:
+        target = jnp.pad(target, ((0, 0), (0, Lt8 - Lt)))
+        Lt = Lt8
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+    h0 = h0.astype(jnp.int32)
+    w = _adjust_w(qlen, w.astype(jnp.int32), jnp.int32(match_sc),
+                  end_bonus, o_ins, e_ins, o_del, e_del)
+    Bp = (B + tile_b - 1) // tile_b * tile_b
+    padn = Bp - B
+    if padn:
+        query = jnp.pad(query, ((0, padn), (0, 0)))
+        target = jnp.pad(target, ((0, padn), (0, 0)))
+        qlen = jnp.pad(qlen, (0, padn))
+        tlen = jnp.pad(tlen, (0, padn))
+        w = jnp.pad(w, (0, padn))
+        h0 = jnp.pad(h0, (0, padn))
+    params = jnp.zeros((Bp, 8), jnp.int32)
+    params = params.at[:, 0].set(qlen).at[:, 1].set(tlen)
+    params = params.at[:, 2].set(w).at[:, 3].set(h0)
+    kernel = functools.partial(_extend_kernel_v2, Lt=Lt, o_del=o_del,
+                               e_del=e_del, o_ins=o_ins, e_ins=e_ins,
+                               zdrop=zdrop, match_sc=match_sc,
+                               mismatch_sc=mismatch_sc, n_sc=n_sc)
+    qT = query.T                                   # (Lq, Bp)
+    tT = target.T.reshape(Lt // 8, 8, Bp)          # row groups
+    pT = params.T                                  # (8, Bp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // tile_b,),
+        in_specs=[
+            pl.BlockSpec((Lq, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((Lt // 8, 8, tile_b), lambda i: (0, 0, i)),
+            pl.BlockSpec((8, tile_b), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((8, tile_b), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
+            pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qT, tT, pT)
+    out = out[:, :B]
+    if packed:
+        return out
+    return ExtendBatchResult(score=out[0], qle=out[1], tle=out[2],
+                             gtle=out[3], gscore=out[4], max_off=out[5])
+
+
+def extend_batch_pallas(*args, **kw):
+    """Pallas ksw_extend2 over a task batch — dispatches to the grid v2
+    kernel (default) or the chunked v1 (LARIAT_EXTEND_V1=1)."""
+    import os
+    if os.environ.get("LARIAT_EXTEND_V1") == "1":
+        return _extend_batch_pallas_v1(*args, **kw)
+    return extend_batch_pallas_v2(*args, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",
+                                             "e_ins", "end_bonus", "zdrop",
+                                             "tile_b", "interpret",
+                                             "match_sc", "mismatch_sc",
+                                             "n_sc", "packed"))
+def _extend_batch_pallas_v1(query: jnp.ndarray, qlen: jnp.ndarray,
+                            target: jnp.ndarray, tlen: jnp.ndarray,
+                            mat: jnp.ndarray, w: jnp.ndarray,
+                            h0: jnp.ndarray,
+                            o_del: int = 6, e_del: int = 1, o_ins: int = 6,
+                            e_ins: int = 1, end_bonus: int = 5,
+                            zdrop: int = 100,
+                            tile_b: int = LANES, interpret: bool = False,
+                            match_sc: int = 1, mismatch_sc: int = -4,
+                            n_sc: int = -1, packed: bool = False
+                            ) -> ExtendBatchResult:
+    """Chunked v1 kernel (one pallas_call per 128-lane chunk).
 
     ``mat`` must be the uniform bwa matrix implied by match_sc/mismatch_sc/
     n_sc (checked by the equality tests)."""

@@ -6,7 +6,7 @@ Prints progressive JSON lines (flushed) so a watcher can follow along:
   - Pallas extend kernel at 1 chunk / 8 chunks (per-chunk + per-row-step cost)
   - XLA extend_batch at full wave width (is the lane-wide scan faster?)
 
-Usage: python tools/probe_device.py [--quick]
+Usage: python tools/probe_device.py
 NOTE: needs the TPU; run while no other tunnel client is live.
 """
 

@@ -55,16 +55,21 @@ def main():
     emit(probe="device_get", bytes=1024 * 1024,
          s=round(time.time() - t0, 3))
 
-    # async copy then block
-    x = mk(1024 * 1024)
-    t0 = time.time()
+    # async copy overlap: start several copies first, then time only the
+    # drains — shows whether copy_to_host_async actually overlaps
+    # (ADVICE r4: timing async-start + drain together just re-measures
+    # the synchronous path)
     try:
-        x.copy_to_host_async()
-        _ = np.asarray(x)
-        emit(probe="copy_to_host_async", bytes=1024 * 1024,
+        xs = [mk(1024 * 1024) for _ in range(4)]
+        for x in xs:
+            x.copy_to_host_async()
+        t0 = time.time()
+        for x in xs:
+            _ = np.asarray(x)
+        emit(probe="async4_drain", bytes=4 * 1024 * 1024,
              s=round(time.time() - t0, 3))
     except Exception as e:
-        emit(probe="copy_to_host_async", error=str(e)[:120])
+        emit(probe="async4_drain", error=str(e)[:120])
 
     # int8 vs int32: same element count
     g8 = jax.jit(lambda v: (v + 1).astype(jnp.int8))
