@@ -210,13 +210,13 @@ def _hg38_runs(workdir: str, have_device: bool) -> dict:
         errs = 0
         for i in range(4):   # run 0 = warmup, 1..3 measured
             r = _run_cli(fa, reads, os.path.join(
-                workdir, f"hg38_{mode}{i}"), mode, extra,
+                workdir, f"hg38_{mode}{i}"), mode, extra, threads=8,
                 timeout_s=1200 if (mode == "on" and i == 0) else 900)
             runs.append(r)
             errs = errs + 1 if "error" in r else 0
             if errs >= 2:
                 break        # tunnel dead: stop burning bench budget
-        key = "hg38_host_5w" if mode == "off" else "hg38_device_5w"
+        key = "hg38_host_8w" if mode == "off" else "hg38_device_8w"
         out[key] = _median_of(runs[1:])
         out[key + "_runs"] = [r.get("pairs_s", 0.0) for r in runs]
     # BASELINE config 2 analog: chr20-scale genome, 1M pairs, one run
@@ -395,16 +395,16 @@ def main() -> None:
     # primary metric: BASELINE.md's regime is hg38-scale barcoded reads;
     # use the full-genome runs when the prebuilt 3.09 Gbp index is present,
     # else the synthetic small-genome pipeline
-    hg_dev = hg38.get("hg38_device_5w", {})
-    hg_host = hg38.get("hg38_host_5w", {})
+    hg_dev = hg38.get("hg38_device_8w", {})
+    hg_host = hg38.get("hg38_host_8w", {})
     hg_best = None
     if "pairs_s" in hg_dev or "pairs_s" in hg_host:
         # the primary number is the device-primed median when it wins
         # (VERDICT r2 item 1); otherwise the host median
         hg_best = max((r for r in (hg_dev, hg_host) if "pairs_s" in r),
                       key=lambda r: r["pairs_s"])
-        detail["primary_config"] = ("hg38_device_5w"
-                                    if hg_best is hg_dev else "hg38_host_5w")
+        detail["primary_config"] = ("hg38_device_8w"
+                                    if hg_best is hg_dev else "hg38_host_8w")
     if hg_best is not None:
         value = hg_best["pairs_s"]
         metric = ("read pairs aligned/sec/chip (full CLI pipeline on 3.09 "
