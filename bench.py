@@ -388,7 +388,24 @@ def main() -> None:
     try:
         if not have_device:
             raise RuntimeError("device unavailable")
-        detail.update(_device_step_detail(fa))
+        # subprocess + hard timeout: a wedged tunnel must not hang the
+        # bench process itself (in-process jax cannot be interrupted)
+        code = ("import sys, json; sys.path.insert(0, %r)\n"
+                "import bench\n"
+                "print('DSD ' + json.dumps(bench._device_step_detail(%r)))"
+                % (REPO, fa))
+        p = subprocess.run(
+            [sys.executable, "-c", code],
+            env={**os.environ, "PYTHONPATH": REPO + (
+                 ":" + os.environ["PYTHONPATH"]
+                 if os.environ.get("PYTHONPATH") else "")},
+            capture_output=True, text=True, timeout=1200)
+        for line in p.stdout.splitlines():
+            if line.startswith("DSD "):
+                detail.update(json.loads(line[4:]))
+                break
+        else:
+            raise RuntimeError((p.stderr or p.stdout)[-200:])
     except Exception as e:  # device detail must never sink the primary metric
         detail["device_step_error"] = str(e)[:200]
 
