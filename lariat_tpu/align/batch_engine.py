@@ -355,14 +355,29 @@ class BatchAlignmentEngine(AlignmentEngine):
                 return out
         return self._align_batch_python(seqs)
 
+    # genome scale above which device seeding is on by default: host C++
+    # seeding is FM-cache-miss-bound at gigabase scale while the device
+    # two-pointer machine is ~flat in genome size (33k reads/s measured);
+    # small genomes keep the (very fast there) host seeder
+    DEVICE_SEED_AUTO_MIN_LPAC = 1_000_000_000
+
     def _device_seed(self, nonempty):
-        """Device 3-round SMEM seeding + SA walks (LARIAT_DEVICE_SEED=1);
-        bit-identical to the native C++ (ops/smem_device.py). Uploads the
-        FM arrays to HBM on first use (~7 GB at hg38 scale). None -> use
-        the host C++ seeder."""
+        """Device 3-round SMEM seeding + SA walks; bit-identical to the
+        native C++ (ops/smem_device.py). Uploads the FM arrays to HBM on
+        first use (~7 GB at hg38 scale). None -> use the host C++ seeder.
+
+        Policy (VERDICT r4 item 3): LARIAT_DEVICE_SEED=1 forces on, =0
+        forces off; unset -> AUTO: on when a real device is present and
+        the genome is gigabase-scale (where the host seeder is the
+        bottleneck)."""
         import os
-        if not os.environ.get("LARIAT_DEVICE_SEED") or not nonempty:
+        flag = os.environ.get("LARIAT_DEVICE_SEED")
+        if flag == "0" or not nonempty:
             return None
+        if not flag:
+            if not (self.use_pallas
+                    and self.fm.l_pac >= self.DEVICE_SEED_AUTO_MIN_LPAC):
+                return None
         try:
             st = getattr(self, "_dseed", None)
             if st is None:
@@ -383,7 +398,7 @@ class BatchAlignmentEngine(AlignmentEngine):
             print(f"device seeding unavailable ({e}); host C++ seeding",
                   file=sys.stderr)
             self._dseed = None
-            os.environ.pop("LARIAT_DEVICE_SEED", None)
+            os.environ["LARIAT_DEVICE_SEED"] = "0"   # self-disable (auto too)
             return None
 
     def _align_batch_session(self, seqs: List[bytes]

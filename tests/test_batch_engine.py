@@ -270,3 +270,34 @@ def test_prime_regions_with_rescue_barcode_parity(dup_genome):  # noqa: F811
                     a1.duplicate) == \
                    (a2.pos, a2.aend, a2.contig, a2.reversed_, a2.score,
                     a2.cigar, a2.mapq, a2.active, a2.is_proper, a2.duplicate)
+
+
+def test_session_buffer_path_matches_resident(dup_genome, monkeypatch):  # noqa: F811
+    """LARIAT_NO_RESIDENT=1 (materialized wave buffers) == the default
+    resident-descriptor feed, bit-for-bit."""
+    import numpy as np
+    from lariat_tpu.align.batch_engine import BatchAlignmentEngine
+    fm, genome = dup_genome
+    rng = np.random.default_rng(91)
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    seqs = []
+    for i in range(20):
+        ln = int(rng.integers(40, 152))
+        pos = int(rng.integers(0, len(genome) - ln))
+        seg = bytearray(genome[pos:pos + ln])
+        for _ in range(int(rng.integers(0, 4))):
+            seg[int(rng.integers(0, ln))] = b"ACGT"[int(rng.integers(0, 4))]
+        if rng.integers(0, 2):
+            seg = bytearray(bytes(seg).translate(comp)[::-1])
+        seqs.append(bytes(seg))
+    eng = BatchAlignmentEngine(fm, use_pallas=False)
+    res_regs = eng.align_batch(seqs)
+    monkeypatch.setenv("LARIAT_NO_RESIDENT", "1")
+    eng2 = BatchAlignmentEngine(fm, use_pallas=False)
+    buf_regs = eng2.align_batch(seqs)
+    assert len(res_regs) == len(buf_regs)
+    for a, b in zip(res_regs, buf_regs):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            assert all(getattr(x, f) == getattr(y, f)
+                       for f in x.__slots__)
