@@ -274,7 +274,14 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
                     ob=ob, ox0=ox0, ox1=ox1, os=os_, oval=oval,
                     steps=st["steps"] + 1)
 
-    st = jax.lax.while_loop(cond, body, state)
+    def body2(st):
+        # 2 transitions per while iteration: a finished lane's transition
+        # is the identity, so semantics are unchanged while the loop's
+        # sequential overhead halves (the cond check + carry shuffle cost
+        # as much as a small step body on this backend)
+        return body(body(st))
+
+    st = jax.lax.while_loop(cond, body2, state)
     live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1) <= end_e)
     return (st["ob"], st["ox0"], st["ox1"], st["os"], st["oval"],
             ~jnp.any(live))
