@@ -56,9 +56,11 @@ class DeviceFMIndex(NamedTuple):
         fused = np.zeros((n_blocks + 1, 12), dtype=np.uint32)
         fused[:, :4] = fm.occ_ckpt.astype(np.uint32)
         fused[:n_blocks, 4:] = wb
+        # every device rank/code query rides the fused row now; the
+        # separate planes would duplicate ~2.3 GB of HBM at hg38 scale
         return cls(
-            bwt_words=jnp.asarray(wb),
-            occ_ckpt=jnp.asarray(fm.occ_ckpt.astype(idx_dtype)),
+            bwt_words=jnp.zeros((0, WORDS_PER_BLOCK), jnp.uint32),
+            occ_ckpt=jnp.zeros((0, 4), idx_dtype),
             L2=jnp.asarray(fm.L2.astype(idx_dtype)),
             primary=jnp.asarray(idx_dtype(fm.primary)),
             seq_len=jnp.asarray(idx_dtype(fm.seq_len)),
@@ -111,9 +113,9 @@ def occ4_batch(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     kk = jnp.clip(kk, 0, fmd.seq_len - 1)
     blk = (kk + 1) // OCC_INTERVAL
     rem = ((kk + 1) % OCC_INTERVAL).astype(jnp.int32)
-    base = fmd.occ_ckpt[blk]                             # (..., 4)
-    nb = fmd.bwt_words.shape[0]
-    words = fmd.bwt_words[jnp.clip(blk, 0, nb - 1)]      # (..., 8)
+    row = fmd.fused[blk]                                 # (..., 12) uint32
+    base = row[..., :4].astype(dt)
+    words = row[..., 4:]
     inblock = _block_counts(words, rem).astype(dt)
     out = base + inblock
     total = fmd.L2[1:5] - fmd.L2[0:4]

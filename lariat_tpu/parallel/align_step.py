@@ -55,7 +55,7 @@ class DeviceGenome(NamedTuple):
 def _bwt_code_at(fmd: DeviceFMIndex, k: jnp.ndarray) -> jnp.ndarray:
     """Physical BWT code at row k (sentinel-adjusted), batched."""
     kx = jnp.where(k > fmd.primary, k - 1, k)
-    word = fmd.bwt_words.reshape(-1)[(kx >> 4)]
+    word = fmd.fused.reshape(-1)[(kx >> 7) * 12 + 4 + ((kx >> 4) & 7)]
     shift = ((15 - (kx & 15)) * 2).astype(jnp.uint32)
     return ((word >> shift) & 3).astype(jnp.int32)
 
