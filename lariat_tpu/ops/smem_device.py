@@ -287,6 +287,48 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
             ~jnp.any(live))
 
 
+@functools.partial(jax.jit, static_argnames=("min_seed", "cap"))
+def compact_starts(b, x0, x1, s, valid, start_e, end_e, mid, min_seed: int,
+                   cap: int):
+    """Device-side emission + left-compaction of per-e minimal-starts.
+
+    Applies the SMEM emission rule (right-maximality via b(e+1) > b(e),
+    length >= min_seed, e in (start_e, end_e], b <= mid — pass mid >= L
+    for round 1 where there is no covering-midpoint constraint) and packs
+    the emitted (qb, qe, x0, x1, s) left per lane. Downloading (R, cap)
+    instead of five (R, L) planes cuts the per-batch transfer ~8x — the
+    download was the next ceiling after the two-pointer kernel.
+
+    Returns (qb, qe, x0, x1, s) as (R, cap) arrays, counts (R,), and a
+    scalar overflow flag (any lane emitted > cap; caller falls back to
+    the full arrays, which stay as undownloaded device residents).
+    """
+    R, L = b.shape
+    e_mat = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :]
+    BIG = jnp.asarray(np.int64(1) << 60, b.dtype) \
+        if b.dtype == jnp.int64 else jnp.asarray(np.int32(1) << 30, b.dtype)
+    bnext = jnp.concatenate(
+        [jnp.where(valid[:, 1:], b[:, 1:], BIG),
+         jnp.full((R, 1), BIG, b.dtype)], axis=1)
+    emit = (valid
+            & (e_mat > start_e[:, None].astype(jnp.int32))
+            & (e_mat <= end_e[:, None].astype(jnp.int32))
+            & (b.astype(jnp.int64) <= mid[:, None].astype(jnp.int64))
+            & ((e_mat.astype(b.dtype) - b) >= min_seed)
+            & (bnext > b))
+    counts = jnp.sum(emit, axis=1).astype(jnp.int32)
+    # stable argsort of ~emit packs emitted columns left, e-ascending
+    order = jnp.argsort(~emit, axis=1, stable=True)[:, :cap]
+
+    def take(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    qb = take(b)
+    qe = take(jnp.broadcast_to(e_mat, (R, L)))
+    return (qb, qe, take(x0), take(x1), take(s), counts,
+            jnp.any(counts > cap))
+
+
 @functools.partial(jax.jit, static_argnames=("L", "min_len", "cap"))
 def strategy1_kernel(fmd: DeviceFMIndex, reads: jnp.ndarray,
                      lens: jnp.ndarray, max_intv, L: int,
@@ -433,7 +475,8 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
     else:
         r3 = None
     b, x0, x1, s, valid, done_all = r1
-    if not bool(done_all):
+    hostfall = not bool(done_all)
+    if hostfall:
         # adversarial low-complexity batch blew the step cap: fall back to
         # the exhaustive per-(read, e) kernel (identical function)
         read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
@@ -441,33 +484,53 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
         b, x0, x1, s, valid = min_starts_kernel(
             fmd, rd, jnp.asarray(read_idx), jnp.asarray(e_arr),
             jnp.ones(R * L, np.int64), L)
-        b = np.asarray(b).reshape(R, L)
-        x0 = np.asarray(x0).reshape(R, L)
-        x1 = np.asarray(x1).reshape(R, L)
-        s = np.asarray(s).reshape(R, L)
-        valid = np.asarray(valid).reshape(R, L).copy()
-    else:
-        b = np.asarray(b)
-        x0 = np.asarray(x0)
-        x1 = np.asarray(x1)
-        s = np.asarray(s)
-        valid = np.asarray(valid).copy()
-    # e beyond the read length is invalid
-    valid &= (np.arange(1, L + 1, dtype=np.int32)[None, :]
-              <= lens[:, None])
+        b = jnp.reshape(b, (R, L))
+        x0 = jnp.reshape(x0, (R, L))
+        x1 = jnp.reshape(x1, (R, L))
+        s = jnp.reshape(s, (R, L))
+        valid = jnp.reshape(valid, (R, L))
 
-    # ---- round-1 emission mask (smems_from_starts semantics, batched) ----
-    e_mat = np.arange(1, L + 1, dtype=np.int64)[None, :]
-    BIG = np.int64(1 << 60)
-    bnext = np.full((R, L), BIG, np.int64)
-    bnext[:, :-1] = np.where(valid[:, 1:], b[:, 1:].astype(np.int64), BIG)
-    emit = (valid & ((e_mat - b) >= min_seed) & (bnext > b))
-    ri1, ei1 = np.nonzero(emit)            # read-major, e-ascending
-    qb1 = b[ri1, ei1].astype(np.int64)
-    qe1 = ei1.astype(np.int64) + 1
-    m1 = np.stack([x0[ri1, ei1].astype(np.int64),
-                   x1[ri1, ei1].astype(np.int64),
-                   s[ri1, ei1].astype(np.int64), qb1, qe1], axis=1)
+    # ---- round-1 emission + left-compaction ON DEVICE --------------------
+    # only (R, CAP1) planes download; the raw (R, L) planes stay resident
+    # unless a lane overflows CAP1 (then the slow full-download path runs)
+    CAP1 = 32
+    lens_d = jnp.asarray(lens)
+    qb1d, qe1d, x01d, x11d, s1d, cnt1d, ovf1 = compact_starts(
+        b, x0, x1, s, valid, jnp.zeros(R, np.int32), lens_d,
+        jnp.full(R, L + 2, np.int32), min_seed, CAP1)
+    if bool(ovf1):
+        bh = np.asarray(b)
+        vh = np.asarray(valid) & (np.arange(1, L + 1, dtype=np.int32)[None]
+                                  <= lens[:, None])
+        e_mat = np.arange(1, L + 1, dtype=np.int64)[None, :]
+        BIG = np.int64(1 << 60)
+        bnext = np.full((R, L), BIG, np.int64)
+        bnext[:, :-1] = np.where(vh[:, 1:], bh[:, 1:].astype(np.int64),
+                                 BIG)
+        emit = (vh & ((e_mat - bh) >= min_seed) & (bnext > bh))
+        ri1, ei1 = np.nonzero(emit)        # read-major, e-ascending
+        x0h = np.asarray(x0)
+        x1h = np.asarray(x1)
+        sh = np.asarray(s)
+        qb1 = bh[ri1, ei1].astype(np.int64)
+        qe1 = ei1.astype(np.int64) + 1
+        m1 = np.stack([x0h[ri1, ei1].astype(np.int64),
+                       x1h[ri1, ei1].astype(np.int64),
+                       sh[ri1, ei1].astype(np.int64), qb1, qe1], axis=1)
+    else:
+        cnt1 = np.asarray(cnt1d)
+        kmask = np.arange(CAP1, dtype=np.int32)[None, :] < cnt1[:, None]
+        ri1, ki1 = np.nonzero(kmask)       # read-major, e-ascending
+        qb1m = np.asarray(qb1d)
+        qe1m = np.asarray(qe1d)
+        qb1 = qb1m[ri1, ki1].astype(np.int64)
+        qe1 = qe1m[ri1, ki1].astype(np.int64)
+        x01m = np.asarray(x01d)
+        x11m = np.asarray(x11d)
+        s1m = np.asarray(s1d)
+        m1 = np.stack([x01m[ri1, ki1].astype(np.int64),
+                       x11m[ri1, ki1].astype(np.int64),
+                       s1m[ri1, ki1].astype(np.int64), qb1, qe1], axis=1)
 
     # ---- round 2: one two-pointer lane per reseed request ----------------
     re_mask = ((qe1 - qb1 >= split_len) & (m1[:, 2] <= opt.split_width))
@@ -504,44 +567,63 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
                 fmd, rd, jnp.asarray(np.array(lane_read, np.int32)),
                 jnp.asarray(np.array(lane_e, np.int32)),
                 jnp.asarray(np.array(lane_m, np.int64)), L)
-            b2 = np.asarray(b2).copy()
-            x02 = np.asarray(x02).copy()
-            x12 = np.asarray(x12).copy()
-            s2 = np.asarray(s2).copy()
-            valid2 = np.asarray(valid2).copy()
+            b2h = np.asarray(b2).copy()
+            x02h = np.asarray(x02).copy()
+            x12h = np.asarray(x12).copy()
+            s2h = np.asarray(s2).copy()
+            v2h = np.asarray(valid2).copy()
             lr, le = np.array(lane_req), np.array(lane_e) - 1
-            b2[lr, le] = np.asarray(bf)
-            x02[lr, le] = np.asarray(x0f)
-            x12[lr, le] = np.asarray(x1f)
-            s2[lr, le] = np.asarray(sf)
-            valid2[lr, le] = np.asarray(vf)
+            b2h[lr, le] = np.asarray(bf)
+            x02h[lr, le] = np.asarray(x0f)
+            x12h[lr, le] = np.asarray(x1f)
+            s2h[lr, le] = np.asarray(sf)
+            v2h[lr, le] = np.asarray(vf)
+            b2, x02, x12, s2, valid2 = (jnp.asarray(b2h),
+                                        jnp.asarray(x02h),
+                                        jnp.asarray(x12h),
+                                        jnp.asarray(s2h),
+                                        jnp.asarray(v2h))
+        # emission + compaction on device: e in (mid, len], valid,
+        # be <= mid, e - be >= min_seed, family right-maximality
+        # (smem1a(x=mid, min_intv=m))
+        CAP2 = 16
+        qb2d, qe2d, x02d, x12d, s2d, cnt2d, ovf2 = compact_starts(
+            b2, x02, x12, s2, valid2, jnp.asarray(r2_start),
+            jnp.asarray(r2_end), jnp.asarray(r2_start), min_seed, CAP2)
+        if bool(ovf2):
+            b2l = np.asarray(b2)[:n_r2].astype(np.int64)
+            v2 = np.asarray(valid2)[:n_r2]
+            e_mat2 = np.arange(1, L + 1, dtype=np.int64)[None, :]
+            BIG2 = np.int64(1 << 60)
+            lens2 = lens[r2_reads].astype(np.int64)[:, None]
+            mid2 = r2_mid.astype(np.int64)[:, None]
+            in_rng = (e_mat2 > mid2) & (e_mat2 <= lens2)
+            bnext2 = np.full_like(b2l, BIG2)
+            bnext2[:, :-1] = np.where(v2[:, 1:], b2l[:, 1:], BIG2)
+            emit2 = (in_rng & v2 & (b2l <= mid2)
+                     & ((e_mat2 - b2l) >= min_seed) & (bnext2 > b2l))
+            rj2, ej2 = np.nonzero(emit2)   # request-major, e-ascending
+            x02h = np.asarray(x02)
+            x12h = np.asarray(x12)
+            s2h = np.asarray(s2)
+            m2 = np.stack([x02h[rj2, ej2].astype(np.int64),
+                           x12h[rj2, ej2].astype(np.int64),
+                           s2h[rj2, ej2].astype(np.int64),
+                           b2l[rj2, ej2], ej2.astype(np.int64) + 1],
+                          axis=1)
+            ri2 = r2_reads[rj2].astype(np.int64)
         else:
-            b2 = np.asarray(b2)
-            x02 = np.asarray(x02)
-            x12 = np.asarray(x12)
-            s2 = np.asarray(s2)
-            valid2 = np.asarray(valid2)
-        # emission mask over (n_r2, L): e in (mid, len], valid, be <= mid,
-        # e - be >= min_seed, and right-maximality within the family
-        # (next e valid with b <= be) — smem1a(x=mid, min_intv=m)
-        b2l = b2[:n_r2].astype(np.int64)
-        v2 = valid2[:n_r2]
-        lens2 = lens[r2_reads].astype(np.int64)[:, None]
-        mid2 = r2_mid.astype(np.int64)[:, None]
-        in_rng = (e_mat > mid2) & (e_mat <= lens2)
-        bnext2 = np.full_like(b2l, BIG)
-        bnext2[:, :-1] = np.where(v2[:, 1:], b2l[:, 1:], BIG)
-        # the family only covers e <= len: treat e == len as maximal
-        bnext2[:, :-1] = np.where(e_mat[:, 1:] <= lens2, bnext2[:, :-1],
-                                  BIG)
-        emit2 = (in_rng & v2 & (b2l <= mid2)
-                 & ((e_mat - b2l) >= min_seed) & (bnext2 > b2l))
-        rj2, ej2 = np.nonzero(emit2)       # request-major, e-ascending
-        m2 = np.stack([x02[rj2, ej2].astype(np.int64),
-                       x12[rj2, ej2].astype(np.int64),
-                       s2[rj2, ej2].astype(np.int64),
-                       b2l[rj2, ej2], ej2.astype(np.int64) + 1], axis=1)
-        ri2 = r2_reads[rj2].astype(np.int64)
+            cnt2 = np.asarray(cnt2d)[:n_r2]
+            kmask2 = (np.arange(CAP2, dtype=np.int32)[None, :]
+                      < cnt2[:, None])
+            rj2, kj2 = np.nonzero(kmask2)  # request-major, e-ascending
+            m2 = np.stack([np.asarray(x02d)[rj2, kj2].astype(np.int64),
+                           np.asarray(x12d)[rj2, kj2].astype(np.int64),
+                           np.asarray(s2d)[rj2, kj2].astype(np.int64),
+                           np.asarray(qb2d)[rj2, kj2].astype(np.int64),
+                           np.asarray(qe2d)[rj2, kj2].astype(np.int64)],
+                          axis=1)
+            ri2 = r2_reads[rj2].astype(np.int64)
     else:
         m2 = np.zeros((0, 5), np.int64)
         ri2 = np.zeros(0, np.int64)
