@@ -173,9 +173,10 @@ def _hg38_runs(workdir: str, have_device: bool) -> dict:
     number and the full run list stays in detail.
     """
     fa = os.path.join(HG38_DIR, "hg38sim.fa")
-    reads = os.path.join(HG38_DIR, "sim50k.fastq.gz")
-    if not os.path.exists(reads):
-        reads = os.path.join(HG38_DIR, "sim10k.fastq.gz")
+    reads = os.path.join(HG38_DIR, "sim200k.fastq.gz")
+    for fall in ("sim50k.fastq.gz", "sim10k.fastq.gz"):
+        if not os.path.exists(reads):
+            reads = os.path.join(HG38_DIR, fall)
     cents = os.path.join(HG38_DIR, "hg38sim.centromeres.tsv")
     if not os.path.isdir(fa + ".lariat.d") or not os.path.exists(reads):
         # the hg38-scale inputs are gitignored (too big to track) and a

@@ -381,11 +381,40 @@ class BatchAlignmentEngine(AlignmentEngine):
         try:
             st = getattr(self, "_dseed", None)
             if st is None:
-                from ..ops import fm_batch, smem_device
-                from ..parallel.align_step import DeviceGenome
-                st = (fm_batch.DeviceFMIndex.from_host(self.fm),
-                      DeviceGenome.from_host(self.fm), smem_device)
-                self._dseed = st
+                th = getattr(self, "_dseed_thread", None)
+                if th is None:
+                    # the FM/pac upload is ~7 GB at hg38 scale (tens of
+                    # seconds over the tunnel): build it on a background
+                    # thread and keep the host C++ seeder serving batches
+                    # until it lands, so device seeding can only ADD
+                    import threading
+
+                    def _build():
+                        try:
+                            from ..ops import fm_batch, smem_device
+                            from ..parallel.align_step import DeviceGenome
+                            dfm = fm_batch.DeviceFMIndex.from_host(self.fm)
+                            dg = DeviceGenome.from_host(self.fm)
+                            # force the transfers now, off the hot path
+                            import jax
+                            jax.block_until_ready(dfm.fused)
+                            np.asarray(dfm.L2)
+                            self._dseed = (dfm, dg, smem_device)
+                        except Exception as e:  # noqa: BLE001
+                            self._dseed_err = e
+                    th = threading.Thread(target=_build, daemon=True,
+                                          name="lariat-dseed-upload")
+                    self._dseed_thread = th
+                    th.start()
+                if getattr(self, "_dseed_err", None) is not None:
+                    raise self._dseed_err
+                if flag == "1":
+                    th.join()            # forced mode: wait for the upload
+                    if getattr(self, "_dseed_err", None) is not None:
+                        raise self._dseed_err
+                st = getattr(self, "_dseed", None)
+                if st is None:
+                    return None          # still uploading: host seeder
             dfm, dg, smem_device = st
             t_dev = time.time()
             out = smem_device.collect_seeds_rbegs_device(

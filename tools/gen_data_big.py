@@ -54,7 +54,8 @@ def main() -> None:
         run(["tools/synth_genome.py", hg, "--scale", "1.0", "--seed", "7",
              "--centromeres", os.path.join(DB, "hg38sim.centromeres.tsv")])
         build(hg)
-    for name, bcs, ppb in (("sim50k.fastq.gz", 1000, 50),
+    for name, bcs, ppb in (("sim200k.fastq.gz", 4000, 50),
+                           ("sim50k.fastq.gz", 1000, 50),
                            ("sim10k.fastq.gz", 200, 50)):
         out = os.path.join(DB, name)
         if not os.path.exists(out):
