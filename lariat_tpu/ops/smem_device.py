@@ -40,6 +40,18 @@ import numpy as np
 from .fm_batch import (DeviceFMIndex, bwt_extend_batch,
                        bwt_extend_dir_batch)
 
+import os as _os
+import time as _time
+
+SEED_TRACE = _os.environ.get("LARIAT_SEED_TRACE") == "1"
+
+
+def _strace(tag, t0):
+    if SEED_TRACE:
+        print(f"[seedtrace] {tag:14s} {(_time.time()-t0)*1e3:7.1f}ms",
+              flush=True)
+    return _time.time()
+
 
 @functools.partial(jax.jit, static_argnames=("L",))
 def min_starts_kernel(fmd: DeviceFMIndex, reads: jnp.ndarray,
@@ -329,6 +341,35 @@ def compact_starts(b, x0, x1, s, valid, start_e, end_e, mid, min_seed: int,
             jnp.any(counts > cap))
 
 
+@functools.partial(jax.jit, static_argnames=("min_seed", "cap"))
+def compact_starts_packed(b, x0, x1, s, valid, start_e, end_e, mid, done,
+                          min_seed: int, cap: int):
+    """compact_starts + everything the host needs in ONE int64 matrix:
+    cols [qb*cap | qe*cap | x0*cap | x1*cap | s*cap | count | flags],
+    flags = done | overflow<<1 (broadcast). One download = one tunnel
+    round trip per round instead of seven (the per-transfer latency of
+    the remote link, not bandwidth, bounds the seeding batch rate)."""
+    qb, qe, x0c, x1c, sc, counts, ovf = compact_starts(
+        b, x0, x1, s, valid, start_e, end_e, mid, min_seed, cap)
+    R = b.shape[0]
+    flags = (done.astype(jnp.int64)
+             | (ovf.astype(jnp.int64) << 1))
+    return jnp.concatenate(
+        [qb.astype(jnp.int64), qe.astype(jnp.int64), x0c.astype(jnp.int64),
+         x1c.astype(jnp.int64), sc.astype(jnp.int64),
+         counts.astype(jnp.int64)[:, None],
+         jnp.full((R, 1), 0, jnp.int64) + flags], axis=1)
+
+
+@jax.jit
+def _pack_r3(n3, qb3, qe3, ox0, ox1, os3):
+    """strategy1 outputs as one int64 matrix (single download)."""
+    return jnp.concatenate(
+        [qb3.astype(jnp.int64), qe3.astype(jnp.int64),
+         ox0.astype(jnp.int64), ox1.astype(jnp.int64),
+         os3.astype(jnp.int64), n3.astype(jnp.int64)[:, None]], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("L", "min_len", "cap"))
 def strategy1_kernel(fmd: DeviceFMIndex, reads: jnp.ndarray,
                      lens: jnp.ndarray, max_intv, L: int,
@@ -465,6 +506,7 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
     min_seed = opt.min_seed_len
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
+    _t = _time.time()
     # ---- dispatch round 1 + round 3 back to back (async), then download --
     r1 = min_starts_twoptr(fmd, rd, jnp.zeros(R, np.int32),
                            jnp.asarray(lens), jnp.ones(R, np.int64), L)
@@ -475,63 +517,77 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
     else:
         r3 = None
     b, x0, x1, s, valid, done_all = r1
-    hostfall = not bool(done_all)
-    if hostfall:
-        # adversarial low-complexity batch blew the step cap: fall back to
-        # the exhaustive per-(read, e) kernel (identical function)
-        read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
-        e_arr = np.tile(np.arange(1, L + 1, dtype=np.int32), R)
-        b, x0, x1, s, valid = min_starts_kernel(
-            fmd, rd, jnp.asarray(read_idx), jnp.asarray(e_arr),
-            jnp.ones(R * L, np.int64), L)
-        b = jnp.reshape(b, (R, L))
-        x0 = jnp.reshape(x0, (R, L))
-        x1 = jnp.reshape(x1, (R, L))
-        s = jnp.reshape(s, (R, L))
-        valid = jnp.reshape(valid, (R, L))
+    _t = _strace("r1+r3 dispatch", _t)
+
+    def _emit_full(bh, x0h, x1h, sh, vh, start_a, end_a, mid_a):
+        """Host emission from full planes (step-cap / overflow fallback)."""
+        Rn = bh.shape[0]
+        e_mat = np.arange(1, L + 1, dtype=np.int64)[None, :]
+        BIG = np.int64(1 << 60)
+        bnext = np.full((Rn, L), BIG, np.int64)
+        bnext[:, :-1] = np.where(vh[:, 1:], bh[:, 1:].astype(np.int64),
+                                 BIG)
+        emit = (vh & (e_mat > start_a[:, None]) & (e_mat <= end_a[:, None])
+                & (bh.astype(np.int64) <= mid_a[:, None])
+                & ((e_mat - bh) >= min_seed) & (bnext > bh))
+        ri, ei = np.nonzero(emit)          # lane-major, e-ascending
+        m = np.stack([x0h[ri, ei].astype(np.int64),
+                      x1h[ri, ei].astype(np.int64),
+                      sh[ri, ei].astype(np.int64),
+                      bh[ri, ei].astype(np.int64),
+                      ei.astype(np.int64) + 1], axis=1)
+        return ri, m
 
     # ---- round-1 emission + left-compaction ON DEVICE --------------------
-    # only (R, CAP1) planes download; the raw (R, L) planes stay resident
-    # unless a lane overflows CAP1 (then the slow full-download path runs)
+    # one packed int64 download (incl. done/overflow flags); the raw (R, L)
+    # planes stay resident unless a flag forces the full-download path
     CAP1 = 32
     lens_d = jnp.asarray(lens)
-    qb1d, qe1d, x01d, x11d, s1d, cnt1d, ovf1 = compact_starts(
+    pk1 = compact_starts_packed(
         b, x0, x1, s, valid, jnp.zeros(R, np.int32), lens_d,
-        jnp.full(R, L + 2, np.int32), min_seed, CAP1)
-    if bool(ovf1):
+        jnp.full(R, L + 2, np.int32), done_all, min_seed, CAP1)
+    pk1h = np.asarray(pk1)                 # ONE sync for round 1
+    _t = _strace("r1 pack dl", _t)
+    flags1 = int(pk1h[0, -1])
+    if not (flags1 & 1):
+        # step cap blown: exhaustive per-(read, e) kernel (identical fn)
+        read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
+        e_arr = np.tile(np.arange(1, L + 1, dtype=np.int32), R)
+        bf_, x0f_, x1f_, sf_, vf_ = min_starts_kernel(
+            fmd, rd, jnp.asarray(read_idx), jnp.asarray(e_arr),
+            jnp.ones(R * L, np.int64), L)
+        bh = np.asarray(bf_).reshape(R, L)
+        x0h = np.asarray(x0f_).reshape(R, L)
+        x1h = np.asarray(x1f_).reshape(R, L)
+        sh = np.asarray(sf_).reshape(R, L)
+        vh = np.asarray(vf_).reshape(R, L) & (
+            np.arange(1, L + 1, dtype=np.int32)[None] <= lens[:, None])
+        ri1, m1 = _emit_full(bh, x0h, x1h, sh, vh,
+                             np.zeros(R, np.int64),
+                             lens.astype(np.int64),
+                             np.full(R, L + 2, np.int64))
+    elif flags1 & 2:
         bh = np.asarray(b)
         vh = np.asarray(valid) & (np.arange(1, L + 1, dtype=np.int32)[None]
                                   <= lens[:, None])
-        e_mat = np.arange(1, L + 1, dtype=np.int64)[None, :]
-        BIG = np.int64(1 << 60)
-        bnext = np.full((R, L), BIG, np.int64)
-        bnext[:, :-1] = np.where(vh[:, 1:], bh[:, 1:].astype(np.int64),
-                                 BIG)
-        emit = (vh & ((e_mat - bh) >= min_seed) & (bnext > bh))
-        ri1, ei1 = np.nonzero(emit)        # read-major, e-ascending
-        x0h = np.asarray(x0)
-        x1h = np.asarray(x1)
-        sh = np.asarray(s)
-        qb1 = bh[ri1, ei1].astype(np.int64)
-        qe1 = ei1.astype(np.int64) + 1
-        m1 = np.stack([x0h[ri1, ei1].astype(np.int64),
-                       x1h[ri1, ei1].astype(np.int64),
-                       sh[ri1, ei1].astype(np.int64), qb1, qe1], axis=1)
+        ri1, m1 = _emit_full(bh, np.asarray(x0), np.asarray(x1),
+                             np.asarray(s), vh, np.zeros(R, np.int64),
+                             lens.astype(np.int64),
+                             np.full(R, L + 2, np.int64))
     else:
-        cnt1 = np.asarray(cnt1d)
+        cnt1 = pk1h[:, 5 * CAP1].astype(np.int32)
         kmask = np.arange(CAP1, dtype=np.int32)[None, :] < cnt1[:, None]
         ri1, ki1 = np.nonzero(kmask)       # read-major, e-ascending
-        qb1m = np.asarray(qb1d)
-        qe1m = np.asarray(qe1d)
-        qb1 = qb1m[ri1, ki1].astype(np.int64)
-        qe1 = qe1m[ri1, ki1].astype(np.int64)
-        x01m = np.asarray(x01d)
-        x11m = np.asarray(x11d)
-        s1m = np.asarray(s1d)
-        m1 = np.stack([x01m[ri1, ki1].astype(np.int64),
-                       x11m[ri1, ki1].astype(np.int64),
-                       s1m[ri1, ki1].astype(np.int64), qb1, qe1], axis=1)
+        qb1 = pk1h[:, 0 * CAP1:1 * CAP1][ri1, ki1]
+        qe1 = pk1h[:, 1 * CAP1:2 * CAP1][ri1, ki1]
+        m1 = np.stack([pk1h[:, 2 * CAP1:3 * CAP1][ri1, ki1],
+                       pk1h[:, 3 * CAP1:4 * CAP1][ri1, ki1],
+                       pk1h[:, 4 * CAP1:5 * CAP1][ri1, ki1],
+                       qb1, qe1], axis=1)
+    qb1 = m1[:, 3]
+    qe1 = m1[:, 4]
 
+    _t = _strace("r1 assembly", _t)
     # ---- round 2: one two-pointer lane per reseed request ----------------
     re_mask = ((qe1 - qb1 >= split_len) & (m1[:, 2] <= opt.split_width))
     r2_reads = ri1[re_mask].astype(np.int32)
@@ -551,10 +607,21 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
         r2_end[:n_r2] = lens[r2_reads]
         r2_m[:n_r2] = r2_min
         rd2 = rd[jnp.asarray(r2_read)]
+        CAP2 = 16
         b2, x02, x12, s2, valid2, done2 = min_starts_twoptr(
             fmd, rd2, jnp.asarray(r2_start), jnp.asarray(r2_end),
-            jnp.asarray(r2_m), L, bwd_init=True)
-        if not bool(done2):
+            jnp.asarray(r2_m), L, max_steps=32 * L, bwd_init=True)
+        pk2 = compact_starts_packed(
+            b2, x02, x12, s2, valid2, jnp.asarray(r2_start),
+            jnp.asarray(r2_end), jnp.asarray(r2_start), done2,
+            min_seed, CAP2)
+        pk2h = np.asarray(pk2)             # ONE sync for round 2
+        flags2 = int(pk2h[0, -1])
+        if SEED_TRACE:
+            print(f"[seedtrace] r2 lanes={n_r2} flags={flags2}",
+                  flush=True)
+        if not (flags2 & 1):
+            # step cap blown: exhaustive kernel over the family lanes
             lane_read, lane_e, lane_m, lane_req = [], [], [], []
             for j in range(n_r2):
                 for e in range(int(r2_mid[j]) + 1,
@@ -578,71 +645,58 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
             x12h[lr, le] = np.asarray(x1f)
             s2h[lr, le] = np.asarray(sf)
             v2h[lr, le] = np.asarray(vf)
-            b2, x02, x12, s2, valid2 = (jnp.asarray(b2h),
-                                        jnp.asarray(x02h),
-                                        jnp.asarray(x12h),
-                                        jnp.asarray(s2h),
-                                        jnp.asarray(v2h))
-        # emission + compaction on device: e in (mid, len], valid,
-        # be <= mid, e - be >= min_seed, family right-maximality
-        # (smem1a(x=mid, min_intv=m))
-        CAP2 = 16
-        qb2d, qe2d, x02d, x12d, s2d, cnt2d, ovf2 = compact_starts(
-            b2, x02, x12, s2, valid2, jnp.asarray(r2_start),
-            jnp.asarray(r2_end), jnp.asarray(r2_start), min_seed, CAP2)
-        if bool(ovf2):
-            b2l = np.asarray(b2)[:n_r2].astype(np.int64)
-            v2 = np.asarray(valid2)[:n_r2]
-            e_mat2 = np.arange(1, L + 1, dtype=np.int64)[None, :]
-            BIG2 = np.int64(1 << 60)
-            lens2 = lens[r2_reads].astype(np.int64)[:, None]
-            mid2 = r2_mid.astype(np.int64)[:, None]
-            in_rng = (e_mat2 > mid2) & (e_mat2 <= lens2)
-            bnext2 = np.full_like(b2l, BIG2)
-            bnext2[:, :-1] = np.where(v2[:, 1:], b2l[:, 1:], BIG2)
-            emit2 = (in_rng & v2 & (b2l <= mid2)
-                     & ((e_mat2 - b2l) >= min_seed) & (bnext2 > b2l))
-            rj2, ej2 = np.nonzero(emit2)   # request-major, e-ascending
-            x02h = np.asarray(x02)
-            x12h = np.asarray(x12)
-            s2h = np.asarray(s2)
-            m2 = np.stack([x02h[rj2, ej2].astype(np.int64),
-                           x12h[rj2, ej2].astype(np.int64),
-                           s2h[rj2, ej2].astype(np.int64),
-                           b2l[rj2, ej2], ej2.astype(np.int64) + 1],
-                          axis=1)
+            rj2, m2 = _emit_full(
+                b2h[:n_r2], x02h[:n_r2], x12h[:n_r2], s2h[:n_r2],
+                v2h[:n_r2], r2_mid.astype(np.int64),
+                lens[r2_reads].astype(np.int64),
+                r2_mid.astype(np.int64))
+            ri2 = r2_reads[rj2].astype(np.int64)
+        elif flags2 & 2:
+            rj2, m2 = _emit_full(
+                np.asarray(b2)[:n_r2], np.asarray(x02)[:n_r2],
+                np.asarray(x12)[:n_r2], np.asarray(s2)[:n_r2],
+                np.asarray(valid2)[:n_r2], r2_mid.astype(np.int64),
+                lens[r2_reads].astype(np.int64),
+                r2_mid.astype(np.int64))
             ri2 = r2_reads[rj2].astype(np.int64)
         else:
-            cnt2 = np.asarray(cnt2d)[:n_r2]
+            cnt2 = pk2h[:n_r2, 5 * CAP2].astype(np.int32)
             kmask2 = (np.arange(CAP2, dtype=np.int32)[None, :]
                       < cnt2[:, None])
             rj2, kj2 = np.nonzero(kmask2)  # request-major, e-ascending
-            m2 = np.stack([np.asarray(x02d)[rj2, kj2].astype(np.int64),
-                           np.asarray(x12d)[rj2, kj2].astype(np.int64),
-                           np.asarray(s2d)[rj2, kj2].astype(np.int64),
-                           np.asarray(qb2d)[rj2, kj2].astype(np.int64),
-                           np.asarray(qe2d)[rj2, kj2].astype(np.int64)],
-                          axis=1)
+            p2 = pk2h[:n_r2]
+            qb2 = p2[:, 0 * CAP2:1 * CAP2][rj2, kj2]
+            qe2 = p2[:, 1 * CAP2:2 * CAP2][rj2, kj2]
+            m2 = np.stack([p2[:, 2 * CAP2:3 * CAP2][rj2, kj2],
+                           p2[:, 3 * CAP2:4 * CAP2][rj2, kj2],
+                           p2[:, 4 * CAP2:5 * CAP2][rj2, kj2],
+                           qb2, qe2], axis=1)
             ri2 = r2_reads[rj2].astype(np.int64)
     else:
         m2 = np.zeros((0, 5), np.int64)
         ri2 = np.zeros(0, np.int64)
 
+    _t = _strace("r2", _t)
     # ---- round 3: forward-greedy walker ----------------------------------
     if r3 is not None:
-        n3, qb3, qe3, ox0, ox1, os3 = (np.asarray(a) for a in r3)
-        k3 = np.arange(qb3.shape[1], dtype=np.int64)[None, :]
+        pk3h = np.asarray(_pack_r3(*r3))   # ONE sync for round 3
+        C3 = (pk3h.shape[1] - 1) // 5
+        n3 = pk3h[:, 5 * C3]
+        qb3 = pk3h[:, 0 * C3:1 * C3]
+        qe3 = pk3h[:, 1 * C3:2 * C3]
+        ox0 = pk3h[:, 2 * C3:3 * C3]
+        ox1 = pk3h[:, 3 * C3:4 * C3]
+        os3 = pk3h[:, 4 * C3:5 * C3]
+        k3 = np.arange(C3, dtype=np.int64)[None, :]
         emit3 = (k3 < n3[:, None]) & (os3 > 0)
         ri3, ki3 = np.nonzero(emit3)       # read-major, k-ascending
-        m3 = np.stack([ox0[ri3, ki3].astype(np.int64),
-                       ox1[ri3, ki3].astype(np.int64),
-                       os3[ri3, ki3].astype(np.int64),
-                       qb3[ri3, ki3].astype(np.int64),
-                       qe3[ri3, ki3].astype(np.int64)], axis=1)
+        m3 = np.stack([ox0[ri3, ki3], ox1[ri3, ki3], os3[ri3, ki3],
+                       qb3[ri3, ki3], qe3[ri3, ki3]], axis=1)
     else:
         m3 = np.zeros((0, 5), np.int64)
         ri3 = np.zeros(0, np.int64)
 
+    _t = _strace("r3 assembly", _t)
     # ---- merge + final stable (qb, qe) sort per read (collect_intv) ------
     rid = np.concatenate([ri1.astype(np.int64), ri2, ri3.astype(np.int64)])
     mall = np.concatenate([m1, m2, m3], axis=0)
@@ -652,7 +706,9 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
     mall = mall[order]
     counts = np.bincount(rid, minlength=R)[:n_reads]
     splits = np.cumsum(counts)[:-1]
-    return [a.reshape(-1, 5) for a in np.split(mall, splits)]
+    out = [a.reshape(-1, 5) for a in np.split(mall, splits)]
+    _strace("merge+sort", _t)
+    return out
 
 
 def collect_seeds_device(fmd: DeviceFMIndex, fm, reads: List[np.ndarray],
@@ -675,6 +731,7 @@ def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
     from ..parallel.align_step import sa_lookup_batch as sa_dev
 
     mems = collect_seeds_arrays_device(dfm, fm, reads, opt)
+    _t = _time.time()
     max_occ = int(opt.max_occ)
     if mems:
         flat = np.concatenate([m for m in mems], axis=0)
@@ -696,7 +753,9 @@ def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
             npad <<= 1
         rarr = np.zeros(npad, np.int64)
         rarr[:total] = rows_arr
+        _t = _strace("rbeg schedule", _t)
         out = np.asarray(sa_dev(dg, jnp.asarray(rarr)))[:total]
+        _t = _strace("sa walk", _t)
     else:
         out = np.zeros(0, np.int64)
     per_seed = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)

@@ -300,15 +300,11 @@ def _extend_kernel_v2(q_ref, t_ref, params_ref, out_ref, ehh_ref, ehe_ref,
 
     def group_step(g, st):
         t8 = t_ref[g]                      # (8, T) dynamic leading index
+        for k in range(8):
+            st = row_step(g * 8 + jnp.int32(k), t8[k:k + 1, :], st)
+        return st
 
-        def run(st):
-            for k in range(8):
-                st = row_step(g * 8 + jnp.int32(k), t8[k:k + 1, :], st)
-            return st
-
-        # rows past every lane's tlen change nothing: skip the group
-        return jax.lax.cond(g * 8 < tmax, run, lambda s: s, st)
-
+    del tmax  # dynamic loop bounds recurse in Mosaic tracing; static it is
     out = jax.lax.fori_loop(jnp.int32(0), jnp.int32(G), group_step, state0)
     (alive, max_score, max_i, max_j, max_ie, gscore, max_off) = out
     empty = qlen == 0
@@ -377,15 +373,19 @@ def extend_batch_pallas_v2(query: jnp.ndarray, qlen: jnp.ndarray,
     qT = query.T                                   # (Lq, Bp)
     tT = target.T.reshape(Lt // 8, 8, Bp)          # row groups
     pT = params.T                                  # (8, Bp)
+    import numpy as _np
+    z32 = _np.int32(0)   # literal 0 traces as i64 under x64 and Mosaic
+    # rejects the index-map's (i64, i32) return — type it (numpy scalar:
+    # index maps must not capture traced constants)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // tile_b,),
         in_specs=[
-            pl.BlockSpec((Lq, tile_b), lambda i: (0, i)),
-            pl.BlockSpec((Lt // 8, 8, tile_b), lambda i: (0, 0, i)),
-            pl.BlockSpec((8, tile_b), lambda i: (0, i)),
+            pl.BlockSpec((Lq, tile_b), lambda i: (z32, i)),
+            pl.BlockSpec((Lt // 8, 8, tile_b), lambda i: (z32, z32, i)),
+            pl.BlockSpec((8, tile_b), lambda i: (z32, i)),
         ],
-        out_specs=pl.BlockSpec((8, tile_b), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((8, tile_b), lambda i: (z32, i)),
         out_shape=jax.ShapeDtypeStruct((8, Bp), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
