@@ -106,11 +106,15 @@ def min_starts_kernel(fmd: DeviceFMIndex, reads: jnp.ndarray,
     return b, x0, x1, s, valid
 
 
-@functools.partial(jax.jit, static_argnames=("L", "max_steps", "bwd_init"))
+@functools.partial(jax.jit, static_argnames=("L", "max_steps", "bwd_init",
+                                             "emit_direct", "min_seed",
+                                             "cap"))
 def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
                       start_e: jnp.ndarray, end_e: jnp.ndarray,
                       min_intv: jnp.ndarray, L: int,
-                      max_steps: int = 0, bwd_init: bool = False):
+                      max_steps: int = 0, bwd_init: bool = False,
+                      emit_direct: bool = False, min_seed: int = 0,
+                      cap: int = 0, mid=None):
     """Two-pointer minimal-starts machine: same per-end function as
     ``min_starts_kernel`` but with O(total match length) extensions per
     lane instead of O(L) per (lane, e) pair — ~L x fewer rank queries.
@@ -179,10 +183,6 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
             bx0=jnp.where(is_n0, 1, fmd.L2[cc0] + 1),
             bx1=jnp.where(is_n0, 1, fmd.L2[3 - cc0] + 1),
             bs=jnp.where(is_n0, 0, fmd.L2[cc0 + 1] - fmd.L2[cc0]),
-            ob=jnp.zeros((R, L), jnp.int32),
-            ox0=jnp.zeros((R, L), dt), ox1=jnp.zeros((R, L), dt),
-            os=jnp.zeros((R, L), dt),
-            oval=jnp.zeros((R, L), jnp.bool_),
             steps=jnp.int32(0))
     else:
         state = dict(
@@ -192,11 +192,24 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
             etgt=jnp.zeros(R, jnp.int32),
             # BWD scratch interval of [p, etgt)
             bx0=zero_dt + 1, bx1=zero_dt + 1, bs=zero_dt,
+            steps=jnp.int32(0))
+
+    if emit_direct:
+        # plateau-end emission straight into compact slots: no (R, L)
+        # planes, no separate compaction pass, tiny while-loop carry
+        state.update(
+            oqb=jnp.zeros((R, cap), jnp.int32),
+            oqe=jnp.zeros((R, cap), jnp.int32),
+            ox0=jnp.zeros((R, cap), dt), ox1=jnp.zeros((R, cap), dt),
+            os=jnp.zeros((R, cap), dt),
+            n=jnp.zeros(R, jnp.int32))
+        mid_a = mid.astype(jnp.int32)
+    else:
+        state.update(
             ob=jnp.zeros((R, L), jnp.int32),
             ox0=jnp.zeros((R, L), dt), ox1=jnp.zeros((R, L), dt),
             os=jnp.zeros((R, L), dt),
-            oval=jnp.zeros((R, L), jnp.bool_),
-            steps=jnp.int32(0))
+            oval=jnp.zeros((R, L), jnp.bool_))
 
     def cond(st):
         live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1)
@@ -274,17 +287,42 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
         n_bx1 = jnp.where(enter_bwd, sc1, jnp.where(do_bwd & acc, nx1, bx1))
         n_bs = jnp.where(enter_bwd, scs, jnp.where(do_bwd & acc, ns, bs))
 
-        # non-emitting lanes write to column L, which mode="drop" discards
-        colw = jnp.where(emit, col, L)
-        ob = st["ob"].at[lane, colw].set(emit_b, mode="drop")
-        ox0 = st["ox0"].at[lane, colw].set(emit_x0, mode="drop")
-        ox1 = st["ox1"].at[lane, colw].set(emit_x1, mode="drop")
-        os_ = st["os"].at[lane, colw].set(emit_s, mode="drop")
-        oval = st["oval"].at[lane, colw].set(emit_valid, mode="drop")
-        return dict(e=n_e, b=n_b, x0=n_x0, x1=n_x1, s=n_s, bwd=n_bwd,
-                    p=n_p, etgt=n_etgt, bx0=n_bx0, bx1=n_bx1, bs=n_bs,
-                    ob=ob, ox0=ox0, ox1=ox1, os=os_, oval=oval,
-                    steps=st["steps"] + 1)
+        out = dict(e=n_e, b=n_b, x0=n_x0, x1=n_x1, s=n_s, bwd=n_bwd,
+                   p=n_p, etgt=n_etgt, bx0=n_bx0, bx1=n_bx1, bs=n_bs,
+                   steps=st["steps"] + 1)
+        if emit_direct:
+            # a plateau ends when FWD fails (enter_bwd), an N breaks it,
+            # or the lane reaches end_e; emission there == the per-e rule
+            # (bnext > b fires exactly at the last e of each b-plateau)
+            em1 = (enter_bwd | (fwd_live & nf)) & (b < e)
+            adv = fwd_emit | bwd_exit
+            em2 = adv & (n_e == end_e) & (n_b < n_e)
+            seed = em1 | em2                  # mutually exclusive
+            sqb = jnp.where(em2, n_b, b)
+            sqe = jnp.where(em2, n_e, e)
+            keep = (seed & ((sqe - sqb) >= min_seed) & (sqb <= mid_a)
+                    & (sqe > start_e))
+            n = st["n"]
+            slot = jnp.where(keep, jnp.minimum(n, cap), cap)
+            sx0 = jnp.where(em2, n_x0, x0)
+            sx1 = jnp.where(em2, n_x1, x1)
+            ss = jnp.where(em2, n_s, s)
+            out["oqb"] = st["oqb"].at[lane, slot].set(sqb, mode="drop")
+            out["oqe"] = st["oqe"].at[lane, slot].set(sqe, mode="drop")
+            out["ox0"] = st["ox0"].at[lane, slot].set(sx0, mode="drop")
+            out["ox1"] = st["ox1"].at[lane, slot].set(sx1, mode="drop")
+            out["os"] = st["os"].at[lane, slot].set(ss, mode="drop")
+            out["n"] = n + keep.astype(jnp.int32)
+        else:
+            # non-emitting lanes write to column L (mode="drop" discards)
+            colw = jnp.where(emit, col, L)
+            out["ob"] = st["ob"].at[lane, colw].set(emit_b, mode="drop")
+            out["ox0"] = st["ox0"].at[lane, colw].set(emit_x0, mode="drop")
+            out["ox1"] = st["ox1"].at[lane, colw].set(emit_x1, mode="drop")
+            out["os"] = st["os"].at[lane, colw].set(emit_s, mode="drop")
+            out["oval"] = st["oval"].at[lane, colw].set(emit_valid,
+                                                        mode="drop")
+        return out
 
     def body2(st):
         # 2 transitions per while iteration: a finished lane's transition
@@ -295,8 +333,18 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
 
     st = jax.lax.while_loop(cond, body2, state)
     live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1) <= end_e)
-    return (st["ob"], st["ox0"], st["ox1"], st["os"], st["oval"],
-            ~jnp.any(live))
+    done = ~jnp.any(live)
+    if emit_direct:
+        # one packed int64 matrix: [qb|qe|x0|x1|s|count|flags]
+        flags = (done.astype(jnp.int64)
+                 | (jnp.any(st["n"] > cap).astype(jnp.int64) << 1))
+        return jnp.concatenate(
+            [st["oqb"].astype(jnp.int64), st["oqe"].astype(jnp.int64),
+             st["ox0"].astype(jnp.int64), st["ox1"].astype(jnp.int64),
+             st["os"].astype(jnp.int64),
+             jnp.minimum(st["n"], cap).astype(jnp.int64)[:, None],
+             jnp.zeros((R, 1), jnp.int64) + flags], axis=1)
+    return (st["ob"], st["ox0"], st["ox1"], st["os"], st["oval"], done)
 
 
 @functools.partial(jax.jit, static_argnames=("min_seed", "cap"))
@@ -507,16 +555,18 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
     split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
 
     _t = _time.time()
+    CAP1 = 32
     # ---- dispatch round 1 + round 3 back to back (async), then download --
-    r1 = min_starts_twoptr(fmd, rd, jnp.zeros(R, np.int32),
-                           jnp.asarray(lens), jnp.ones(R, np.int64), L)
+    pk1 = min_starts_twoptr(fmd, rd, jnp.zeros(R, np.int32),
+                            jnp.asarray(lens), jnp.ones(R, np.int64), L,
+                            emit_direct=True, min_seed=int(min_seed),
+                            cap=CAP1, mid=jnp.full(R, L + 2, np.int32))
     if opt.max_mem_intv > 0:
         cap3 = max(2, L // max(min_seed, 1) + 2)
         r3 = strategy1_kernel(fmd, rd, jnp.asarray(lens),
                               int(opt.max_mem_intv), L, int(min_seed), cap3)
     else:
         r3 = None
-    b, x0, x1, s, valid, done_all = r1
     _t = _strace("r1+r3 dispatch", _t)
 
     def _emit_full(bh, x0h, x1h, sh, vh, start_a, end_a, mid_a):
@@ -538,19 +588,12 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
                       ei.astype(np.int64) + 1], axis=1)
         return ri, m
 
-    # ---- round-1 emission + left-compaction ON DEVICE --------------------
-    # one packed int64 download (incl. done/overflow flags); the raw (R, L)
-    # planes stay resident unless a flag forces the full-download path
-    CAP1 = 32
-    lens_d = jnp.asarray(lens)
-    pk1 = compact_starts_packed(
-        b, x0, x1, s, valid, jnp.zeros(R, np.int32), lens_d,
-        jnp.full(R, L + 2, np.int32), done_all, min_seed, CAP1)
     pk1h = np.asarray(pk1)                 # ONE sync for round 1
     _t = _strace("r1 pack dl", _t)
     flags1 = int(pk1h[0, -1])
-    if not (flags1 & 1):
-        # step cap blown: exhaustive per-(read, e) kernel (identical fn)
+    if flags1 != 1:
+        # step cap blown or slot overflow (rare): exhaustive per-(read, e)
+        # kernel + full-plane host emission (identical function)
         read_idx = np.repeat(np.arange(R, dtype=np.int32), L)
         e_arr = np.tile(np.arange(1, L + 1, dtype=np.int32), R)
         bf_, x0f_, x1f_, sf_, vf_ = min_starts_kernel(
@@ -564,14 +607,6 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
             np.arange(1, L + 1, dtype=np.int32)[None] <= lens[:, None])
         ri1, m1 = _emit_full(bh, x0h, x1h, sh, vh,
                              np.zeros(R, np.int64),
-                             lens.astype(np.int64),
-                             np.full(R, L + 2, np.int64))
-    elif flags1 & 2:
-        bh = np.asarray(b)
-        vh = np.asarray(valid) & (np.arange(1, L + 1, dtype=np.int32)[None]
-                                  <= lens[:, None])
-        ri1, m1 = _emit_full(bh, np.asarray(x0), np.asarray(x1),
-                             np.asarray(s), vh, np.zeros(R, np.int64),
                              lens.astype(np.int64),
                              np.full(R, L + 2, np.int64))
     else:
@@ -608,20 +643,19 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
         r2_m[:n_r2] = r2_min
         rd2 = rd[jnp.asarray(r2_read)]
         CAP2 = 16
-        b2, x02, x12, s2, valid2, done2 = min_starts_twoptr(
+        pk2 = min_starts_twoptr(
             fmd, rd2, jnp.asarray(r2_start), jnp.asarray(r2_end),
-            jnp.asarray(r2_m), L, max_steps=32 * L, bwd_init=True)
-        pk2 = compact_starts_packed(
-            b2, x02, x12, s2, valid2, jnp.asarray(r2_start),
-            jnp.asarray(r2_end), jnp.asarray(r2_start), done2,
-            min_seed, CAP2)
+            jnp.asarray(r2_m), L, max_steps=32 * L, bwd_init=True,
+            emit_direct=True, min_seed=int(min_seed), cap=CAP2,
+            mid=jnp.asarray(r2_start))
         pk2h = np.asarray(pk2)             # ONE sync for round 2
         flags2 = int(pk2h[0, -1])
         if SEED_TRACE:
             print(f"[seedtrace] r2 lanes={n_r2} flags={flags2}",
                   flush=True)
-        if not (flags2 & 1):
-            # step cap blown: exhaustive kernel over the family lanes
+        if flags2 != 1:
+            # step cap / slot overflow (rare): exhaustive kernel over the
+            # family lanes + full-plane host emission
             lane_read, lane_e, lane_m, lane_req = [], [], [], []
             for j in range(n_r2):
                 for e in range(int(r2_mid[j]) + 1,
@@ -634,11 +668,11 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
                 fmd, rd, jnp.asarray(np.array(lane_read, np.int32)),
                 jnp.asarray(np.array(lane_e, np.int32)),
                 jnp.asarray(np.array(lane_m, np.int64)), L)
-            b2h = np.asarray(b2).copy()
-            x02h = np.asarray(x02).copy()
-            x12h = np.asarray(x12).copy()
-            s2h = np.asarray(s2).copy()
-            v2h = np.asarray(valid2).copy()
+            b2h = np.zeros((R2, L), np.int64)
+            x02h = np.zeros((R2, L), np.int64)
+            x12h = np.zeros((R2, L), np.int64)
+            s2h = np.zeros((R2, L), np.int64)
+            v2h = np.zeros((R2, L), bool)
             lr, le = np.array(lane_req), np.array(lane_e) - 1
             b2h[lr, le] = np.asarray(bf)
             x02h[lr, le] = np.asarray(x0f)
@@ -648,14 +682,6 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
             rj2, m2 = _emit_full(
                 b2h[:n_r2], x02h[:n_r2], x12h[:n_r2], s2h[:n_r2],
                 v2h[:n_r2], r2_mid.astype(np.int64),
-                lens[r2_reads].astype(np.int64),
-                r2_mid.astype(np.int64))
-            ri2 = r2_reads[rj2].astype(np.int64)
-        elif flags2 & 2:
-            rj2, m2 = _emit_full(
-                np.asarray(b2)[:n_r2], np.asarray(x02)[:n_r2],
-                np.asarray(x12)[:n_r2], np.asarray(s2)[:n_r2],
-                np.asarray(valid2)[:n_r2], r2_mid.astype(np.int64),
                 lens[r2_reads].astype(np.int64),
                 r2_mid.astype(np.int64))
             ri2 = r2_reads[rj2].astype(np.int64)
