@@ -167,6 +167,14 @@ class _ExtBatcher:
         self.tasks = []
 
 
+class PrimeAborted(Exception):
+    """Cooperative abort of a device priming pass (EOF tail guard).
+
+    Raised between waves when ``BatchAlignmentEngine.abort_prime`` is set:
+    the router discards the partial results and host-routes the batch, so a
+    slow device (or a wedged tunnel) can never gate the end of a run."""
+
+
 @dataclasses.dataclass
 class _ChainCtx:
     chain: Chain
@@ -199,6 +207,9 @@ class BatchAlignmentEngine(AlignmentEngine):
         # downloading, summed across priming threads): the CLI reports
         # wall / elapsed as the device-busy fraction proxy
         self.wave_stats = {"wall": 0.0, "n": 0}
+        # EOF tail guard (cli.primed_iter): set to make in-flight priming
+        # passes bail at their next wave boundary with PrimeAborted
+        self.abort_prime = False
         self._warmup = _start_transfer_warmup()
 
     def wait_warmup(self) -> None:
@@ -206,6 +217,10 @@ class BatchAlignmentEngine(AlignmentEngine):
         if self._warmup is not None:
             self._warmup.join()
             self._warmup = None
+
+    def _check_abort(self) -> None:
+        if self.abort_prime:
+            raise PrimeAborted()
 
     def _pac_resident(self):
         """(pac_words_devicearray, l_pac) cached on the engine — the 2-bit
@@ -218,14 +233,8 @@ class BatchAlignmentEngine(AlignmentEngine):
             if ds is not None:
                 pr = (ds[1].pac_words, int(self.fm.l_pac))
             else:
-                pac = self.fm.pac
-                padb = (-len(pac)) % 4
-                if padb:
-                    pac = np.concatenate([pac, np.zeros(padb, np.uint8)])
-                words = (pac.reshape(-1, 4).astype(np.uint32)
-                         << np.array([24, 16, 8, 0], np.uint32)).sum(
-                             axis=1, dtype=np.uint32)
-                pr = (jax.device_put(jnp.asarray(words)),
+                from ..ops.fm_batch import pac_words_host
+                pr = (jax.device_put(jnp.asarray(pac_words_host(self.fm))),
                       int(self.fm.l_pac))
             self._pac_res = pr
         return pr
@@ -371,6 +380,7 @@ class BatchAlignmentEngine(AlignmentEngine):
         the genome is gigabase-scale (where the host seeder is the
         bottleneck)."""
         import os
+        self._check_abort()
         flag = os.environ.get("LARIAT_DEVICE_SEED")
         if flag == "0" or not nonempty:
             return None
@@ -422,6 +432,8 @@ class BatchAlignmentEngine(AlignmentEngine):
             self.wave_stats["wall"] += time.time() - t_dev
             self.wave_stats["n"] += 1
             return out
+        except PrimeAborted:
+            raise
         except Exception as e:
             import sys
             print(f"device seeding unavailable ({e}); host C++ seeding",
@@ -480,6 +492,7 @@ class BatchAlignmentEngine(AlignmentEngine):
             mat = np.asarray(ksw.fill_score_matrix(opt.match_score,
                                                    opt.mismatch_penalty))
             while sess.pending():
+                self._check_abort()
                 t_wave = time.time()
                 # pallas: pin wave dims to the derived tier sets (each
                 # distinct shape is a minutes-long Mosaic compile over a
@@ -801,6 +814,7 @@ class BatchAlignmentEngine(AlignmentEngine):
         """Device-batched mate-rescue local SW (two waves incl. the reversed
         start-coordinate pass); bit-identical to per-task ksw.local_align."""
         from .ksw import local_align_batch
+        self._check_abort()
         opt = self.opt
         tp = self._tier_plan(max((len(rev) for rev, _ in tasks), default=64))
         t_dev = time.time()
@@ -1096,12 +1110,21 @@ class BatchAlignmentEngine(AlignmentEngine):
                         if st["sess"] is not None and st["sess"].pending()]
                 if not live:
                     break
+                self._check_abort()
                 t_dev = time.time()
                 handles = [(st, self._r2s_dispatch(st)) for st in live]
                 for st, h in handles:
                     self._r2s_feed(st, h)
                 self.wave_stats["wall"] += time.time() - t_dev
                 self.wave_stats["n"] += len(handles)
+        except PrimeAborted:
+            # close without finish(): sessions are mid-ladder and their
+            # results are being discarded by the router anyway
+            for st in states:
+                if st["sess"] is not None:
+                    st["sess"].close()
+                    st["sess"] = None
+            raise
         finally:
             metas = []
             for st in states:

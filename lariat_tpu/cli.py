@@ -292,9 +292,13 @@ def run(argv=None):
             rate_box = {"pairs_s": None}
 
             def prime_tagged(tagged):
+                from .align.batch_engine import PrimeAborted
                 t0 = _time.time()
-                primed = _prime_group(device_engine,
-                                      [it for _, it in tagged], config)
+                try:
+                    primed = _prime_group(device_engine,
+                                          [it for _, it in tagged], config)
+                except PrimeAborted:
+                    return None   # EOF tail guard fired: host-route batch
                 dt = max(_time.time() - t0, 1e-3)
                 n = sum(len(it[0]) for _, it in tagged)
                 r = n / dt
@@ -309,15 +313,24 @@ def run(argv=None):
                 # size prime batches so one wave is ~2 s of device work:
                 # a slow device (or cold tunnel) then holds only a short
                 # tail at EOF and can never gate the run; a fast device
-                # gets full 4k-pair waves
+                # earns full 16k-pair waves. Until the first batch lands
+                # the rate is unknown — start small so the first (compile-
+                # and upload-laden) batch can never hold minutes of work.
                 r = rate_box["pairs_s"]
                 if r is None:
-                    return 4096
+                    return 1024
                 return max(512, min(16384, int(r * 2.0)))
 
             def drain(block: bool):
                 while futs and (block or futs[0][0].done()):
-                    for t in futs.popleft()[0].result():
+                    f, tagged = futs.popleft()
+                    res = f.result()
+                    if res is None:   # prime pass aborted: host-route
+                        for s, it in tagged:
+                            feed_stats["host_pairs"] += len(it[0])
+                            yield (s, it)
+                        continue
+                    for t in res:
                         feed_stats["primed_pairs"] += len(t[1][0])
                         yield t
             try:
@@ -369,6 +382,33 @@ def run(argv=None):
                     else:
                         keep.append((f, tagged))
                 futs = keep
+                # RUNNING futures: a bounded grace, then abort the engine
+                # between waves and host-route their batches. Re-doing a
+                # batch on host costs ~1 s; a mid-prime device batch can
+                # hold minutes over a cold tunnel — the device must never
+                # gate the run tail (VERDICT r4 item 2 / r5).
+                if futs:
+                    from concurrent.futures import wait as _fwait
+                    grace = float(os.environ.get(
+                        "LARIAT_PRIME_TAIL_GRACE", "5"))
+                    _fwait([f for f, _ in futs], timeout=grace)
+                    if any(not f.done() for f, _ in futs):
+                        device_engine.abort_prime = True
+                        still = deque()
+                        abandoned = []
+                        while futs:
+                            f, tagged = futs.popleft()
+                            if f.done():
+                                still.append((f, tagged))
+                            else:
+                                # result (even if it lands later) is
+                                # discarded; items are yielded exactly once
+                                abandoned.append(f)
+                                for s, it in tagged:
+                                    feed_stats["host_pairs"] += len(it[0])
+                                    yield (s, it)
+                        futs = still
+                        device_engine._abandoned = abandoned
                 yield from drain(block=True)
             finally:
                 ex.shutdown(wait=False)
@@ -399,6 +439,11 @@ def run(argv=None):
             if w is not None:
                 w.join(timeout=2.0)
                 if w.is_alive():
+                    _SKIP_TEARDOWN = True
+            # abandoned prime futures may still be mid-RPC on the tunnel:
+            # runtime teardown would abort the process from under them
+            for f in getattr(device_engine, "_abandoned", ()):
+                if not f.done():
                     _SKIP_TEARDOWN = True
     else:
         profiler = None

@@ -114,6 +114,7 @@ class FMIndex:
             occ_ckpt = _blocked_counts(self.bwt_codes, OCC_INTERVAL)
         self.occ_ckpt = occ_ckpt  # int64[(nblocks+1), 4]: counts before block
         self._packed_words = None
+        self._dir = None          # .lariat.d path when mmap-loaded from one
 
     # ---------------- rank / search primitives (bwa conventions) -----------
 
@@ -396,6 +397,7 @@ class FMIndex:
         pw = os.path.join(d, "packed_words.npy")
         if os.path.exists(pw):
             fm._packed_words = np.load(pw, mmap_mode="r")
+        fm._dir = d   # derived device tables (fused/pac_words) cache here
         return fm
 
     @classmethod

@@ -26,6 +26,72 @@ from ..index.fmindex import FMIndex, OCC_INTERVAL
 WORDS_PER_BLOCK = OCC_INTERVAL // 16  # 8
 
 
+def _fused_table(fm: FMIndex) -> np.ndarray:
+    """(n_blocks+1, 12) uint32 fused occ row: [ckpt 0..3 | 8 bwt words].
+
+    Assembled from ``fm.packed_words`` (block-padded, base 0 in the high
+    bits — identical word layout) + ``occ_ckpt``, so at hg38 scale the
+    build is a ~3 GB mmap copy instead of the 25 GB unpack-repack temporary
+    storm the old path allocated (which starved the host worker pool for
+    the length of a run). When the index lives in a ``.lariat.d`` dir the
+    result is persisted as ``fused.npy`` (atomic rename) and mmapped on
+    every later load — the device upload then streams from page cache.
+    Per-code rank checkpoints fit uint32 for any genome (< 4 Gbp per code).
+    """
+    import os
+    import tempfile
+
+    d = getattr(fm, "_dir", None)
+    path = os.path.join(d, "fused.npy") if d else None
+    if path and os.path.exists(path):
+        return np.load(path, mmap_mode="r")
+    n = len(fm.bwt_codes)
+    n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    fused = np.zeros((n_blocks + 1, 12), dtype=np.uint32)
+    fused[:, :4] = fm.occ_ckpt
+    fused[:n_blocks, 4:] = np.asarray(
+        fm.packed_words)[:n_blocks * WORDS_PER_BLOCK].reshape(
+            n_blocks, WORDS_PER_BLOCK)
+    if path:
+        try:
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, fused)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    return fused
+
+
+def pac_words_host(fm: FMIndex) -> np.ndarray:
+    """(ceil(l_pac/16),) uint32 forward pac, 16 bases/word (byte 0 in the
+    high bits). Disk-cached as ``pac_words.npy`` in the index dir like
+    ``_fused_table`` — the build reads the 2-bit pac bytes once."""
+    import os
+    import tempfile
+
+    d = getattr(fm, "_dir", None)
+    path = os.path.join(d, "pac_words.npy") if d else None
+    if path and os.path.exists(path):
+        return np.load(path, mmap_mode="r")
+    pac = np.asarray(fm.pac)
+    padb = (-len(pac)) % 4
+    if padb:
+        pac = np.concatenate([pac, np.zeros(padb, np.uint8)])
+    words = (pac.reshape(-1, 4).astype(np.uint32)
+             << np.array([24, 16, 8, 0], np.uint32)).sum(
+                 axis=1, dtype=np.uint32)
+    if path:
+        try:
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, words)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    return words
+
+
 class DeviceFMIndex(NamedTuple):
     bwt_words: jnp.ndarray   # (n_blocks, 8) uint32 padded to block boundary
     occ_ckpt: jnp.ndarray    # (n_blocks+1, 4) int32
@@ -38,24 +104,9 @@ class DeviceFMIndex(NamedTuple):
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceFMIndex":
-        n = len(fm.bwt_codes)
-        n_blocks = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
-        pad = np.zeros(n_blocks * OCC_INTERVAL, dtype=np.uint8)
-        pad[:n] = fm.bwt_codes
-        # tail padding never contaminates counts: in-block masks clamp to the
-        # true remainder
-        q = pad.reshape(-1, 16).astype(np.uint32)
-        shifts = (np.arange(15, -1, -1, dtype=np.uint32) * 2)
-        words = np.zeros(q.shape[0], dtype=np.uint32)
-        for k in range(16):
-            words |= q[:, k] << shifts[k]
         # genome coordinates fit int32 for anything below ~1 Gbp doubled;
         # int64 (XLA-emulated on TPU) only when required
         idx_dtype = np.int32 if fm.seq_len + 2 < 2**31 else np.int64
-        wb = words.reshape(n_blocks, WORDS_PER_BLOCK)
-        fused = np.zeros((n_blocks + 1, 12), dtype=np.uint32)
-        fused[:, :4] = fm.occ_ckpt.astype(np.uint32)
-        fused[:n_blocks, 4:] = wb
         # every device rank/code query rides the fused row now; the
         # separate planes would duplicate ~2.3 GB of HBM at hg38 scale
         return cls(
@@ -64,7 +115,7 @@ class DeviceFMIndex(NamedTuple):
             L2=jnp.asarray(fm.L2.astype(idx_dtype)),
             primary=jnp.asarray(idx_dtype(fm.primary)),
             seq_len=jnp.asarray(idx_dtype(fm.seq_len)),
-            fused=jnp.asarray(fused))
+            fused=jnp.asarray(_fused_table(fm)))
 
     @property
     def idx_dtype(self):

@@ -401,12 +401,16 @@ def extend_batch_pallas_v2(query: jnp.ndarray, qlen: jnp.ndarray,
 
 
 def extend_batch_pallas(*args, **kw):
-    """Pallas ksw_extend2 over a task batch — dispatches to the grid v2
-    kernel (default) or the chunked v1 (LARIAT_EXTEND_V1=1)."""
+    """Pallas ksw_extend2 over a task batch — dispatches to the chunked v1
+    kernel (default) or the grid v2 (LARIAT_EXTEND_V2=1).
+
+    v1 measured faster on chip at the production tier (8192x192x576:
+    74.9 ms vs 79.2; mixed tlen 67.2 vs 73.5 — v2's dynamic group skip
+    never pays for its leading-dim indexing on this shape set)."""
     import os
-    if os.environ.get("LARIAT_EXTEND_V1") == "1":
-        return _extend_batch_pallas_v1(*args, **kw)
-    return extend_batch_pallas_v2(*args, **kw)
+    if os.environ.get("LARIAT_EXTEND_V2") == "1":
+        return extend_batch_pallas_v2(*args, **kw)
+    return _extend_batch_pallas_v1(*args, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("o_del", "e_del", "o_ins",

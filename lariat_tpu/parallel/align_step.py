@@ -21,7 +21,7 @@ import numpy as np
 
 from ..index.fmindex import FMIndex
 from ..ops.fm_batch import (DeviceFMIndex, backward_ext_batch, lf_batch,
-                            occ1_batch, occ4_batch)
+                            occ1_batch, occ4_batch, pac_words_host)
 from ..ops.sw_batch import extend_batch
 from ..ops.sw_extend_pallas import extend_batch_pallas
 
@@ -38,15 +38,8 @@ class DeviceGenome(NamedTuple):
     def from_host(cls, fm: FMIndex) -> "DeviceGenome":
         fmd = DeviceFMIndex.from_host(fm)
         dt = np.int32 if fm.seq_len + 2 < 2**31 else np.int64
-        pac = fm.pac
-        padb = (-len(pac)) % 4
-        if padb:
-            pac = np.concatenate([pac, np.zeros(padb, np.uint8)])
-        words = (pac.reshape(-1, 4).astype(np.uint32)
-                 << np.array([24, 16, 8, 0], np.uint32)).sum(
-                     axis=1, dtype=np.uint32)
         return cls(fmd=fmd,
-                   pac_words=jnp.asarray(words),
+                   pac_words=jnp.asarray(pac_words_host(fm)),
                    sa_samples=jnp.asarray(fm.sa_samples.astype(dt)),
                    sa_intv=jnp.asarray(dt(fm.sa_intv)),
                    l_pac=jnp.asarray(dt(fm.l_pac)))
