@@ -219,9 +219,28 @@ class FMIndex:
         """Unpack the full 2-bit pac to a byte-per-base cache even past
         CODES_CACHE_MAX (1 byte/base, ~3.1 GB for hg38). The CLI calls this
         BEFORE forking workers so the cache is shared copy-on-write instead
-        of being skipped (per-window unpack) in every worker."""
-        if getattr(self, "_codes_cache", None) is None:
-            self._codes_cache = unpack_2bit(self.pac, self.l_pac)
+        of being skipped (per-window unpack) in every worker.
+
+        Disk-cached as ``codes.npy`` in the .lariat.d dir (atomic rename):
+        the unpack is a ~31 s single-thread pass at hg38 scale, paid once
+        per index instead of once per run."""
+        if getattr(self, "_codes_cache", None) is not None:
+            return
+        d = getattr(self, "_dir", None)
+        path = os.path.join(d, "codes.npy") if d else None
+        if path and os.path.exists(path):
+            self._codes_cache = np.load(path, mmap_mode="r")
+            return
+        self._codes_cache = unpack_2bit(self.pac, self.l_pac)
+        if path:
+            try:
+                import tempfile
+                fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+                with os.fdopen(fd, "wb") as f:
+                    np.save(f, self._codes_cache)
+                os.replace(tmp, path)
+            except OSError:
+                pass
 
     # Arrays below this size stay wherever they were loaded; migrating tiny
     # test indexes would only add noise.
@@ -244,6 +263,7 @@ class FMIndex:
         if getattr(self, "_hot_bufs", None):
             return
         bufs = []
+        copies = []
         for name in ("_packed_words", "occ_ckpt", "sa_samples",
                      "_codes_cache", "pac"):
             src = (self.packed_words if name == "_packed_words"
@@ -271,11 +291,22 @@ class FMIndex:
             except (AttributeError, OSError):
                 pass  # still worth it: anonymous pages beat file-backed
             dst = np.frombuffer(buf, dtype=src.dtype).reshape(src.shape)
-            dst.setflags(write=True)
-            np.copyto(dst, src)
-            dst.setflags(write=False)
-            setattr(self, name, dst)
+            copies.append((name, src, dst))
             bufs.append(buf)
+        if copies:
+            # np.copyto releases the GIL: fan the ~8 GB of hugepage fills
+            # over a few threads (the copies were ~28 s sequential at hg38
+            # scale — fault + write bound, scales with cores)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _fill(item):
+                name, src, dst = item
+                dst.setflags(write=True)
+                np.copyto(dst, src)
+                dst.setflags(write=False)
+                setattr(self, name, dst)
+            with ThreadPoolExecutor(max_workers=min(4, len(copies))) as ex:
+                list(ex.map(_fill, copies))
         if bufs:
             self._hot_bufs = bufs  # keep the mappings alive
             # ctypes pointer caches hold addresses into the old mmaps
