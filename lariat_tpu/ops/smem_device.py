@@ -196,12 +196,14 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
 
     if emit_direct:
         # plateau-end emission straight into compact slots: no (R, L)
-        # planes, no separate compaction pass, tiny while-loop carry
+        # planes, no separate compaction pass, tiny while-loop carry.
+        # Dense one-hot accumulates — TPU scatter cost ~0.7 ms per op per
+        # iteration at 16k lanes; the one-hot add is free next to the rank
+        # step (measured). Split into an int32 (qb<<16|qe) plane and a dt
+        # (x0, x1, s) plane so the download is 2.5x smaller than all-int64.
         state.update(
-            oqb=jnp.zeros((R, cap), jnp.int32),
-            oqe=jnp.zeros((R, cap), jnp.int32),
-            ox0=jnp.zeros((R, cap), dt), ox1=jnp.zeros((R, cap), dt),
-            os=jnp.zeros((R, cap), dt),
+            oaccs=jnp.zeros((R, cap), jnp.int32),
+            oaccb=jnp.zeros((R, cap, 3), dt),
             n=jnp.zeros(R, jnp.int32))
         mid_a = mid.astype(jnp.int32)
     else:
@@ -224,8 +226,16 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
         fwd_live = (~bwd) & (e + 1 <= end_e)
         bwd_live = bwd & (etgt <= end_e)
 
-        c_f = base_at(e)
-        c_b = base_at(p - 1)
+        # one (R, 2) gather for both read positions (two separate
+        # take_along_axis calls cost a full extra gather pass)
+        pos2 = jnp.stack([e, p - 1], axis=1)
+        inb2 = (pos2 >= 0) & (pos2 < L)
+        c2 = jnp.where(
+            inb2, jnp.take_along_axis(
+                reads, jnp.clip(pos2, 0, L - 1).astype(jnp.int32),
+                axis=1).astype(jnp.int32), 4)
+        c_f = c2[:, 0]
+        c_b = c2[:, 1]
         empty = fwd_live & (b == e)
         nf = c_f >= 4
 
@@ -287,6 +297,16 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
         n_bx1 = jnp.where(enter_bwd, sc1, jnp.where(do_bwd & acc, nx1, bx1))
         n_bs = jnp.where(enter_bwd, scs, jnp.where(do_bwd & acc, ns, bs))
 
+        if emit_direct:
+            # midpoint pruning: b(e) is non-decreasing and every kept seed
+            # needs b <= mid, so a FWD-state lane whose b passed mid can
+            # never emit again — finish it. Round 2 lanes with min_intv
+            # near 1 otherwise pay a full backward rescan per position
+            # PAST the midpoint (measured: median r2 lane ~900 steps, ~10x
+            # the useful work). Round 1 passes mid = L + 2: never fires.
+            dead = (~n_bwd) & (n_b > mid_a)
+            n_e = jnp.where(dead, end_e + 1, n_e)
+
         out = dict(e=n_e, b=n_b, x0=n_x0, x1=n_x1, s=n_s, bwd=n_bwd,
                    p=n_p, etgt=n_etgt, bx0=n_bx0, bx1=n_bx1, bs=n_bs,
                    steps=st["steps"] + 1)
@@ -303,15 +323,19 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
             keep = (seed & ((sqe - sqb) >= min_seed) & (sqb <= mid_a)
                     & (sqe > start_e))
             n = st["n"]
-            slot = jnp.where(keep, jnp.minimum(n, cap), cap)
             sx0 = jnp.where(em2, n_x0, x0)
             sx1 = jnp.where(em2, n_x1, x1)
             ss = jnp.where(em2, n_s, s)
-            out["oqb"] = st["oqb"].at[lane, slot].set(sqb, mode="drop")
-            out["oqe"] = st["oqe"].at[lane, slot].set(sqe, mode="drop")
-            out["ox0"] = st["ox0"].at[lane, slot].set(sx0, mode="drop")
-            out["ox1"] = st["ox1"].at[lane, slot].set(sx1, mode="drop")
-            out["os"] = st["os"].at[lane, slot].set(ss, mode="drop")
+            # dense one-hot accumulate: each (lane, slot) is written at
+            # most once over the whole run (n increments with keep)
+            oh = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                  == jnp.where(keep, n, -1)[:, None])       # (R, cap)
+            qbqe = ((sqb.astype(jnp.int32) << 16)
+                    | sqe.astype(jnp.int32))                # L <= 512
+            out["oaccs"] = st["oaccs"] + jnp.where(oh, qbqe[:, None], 0)
+            upd = jnp.stack([sx0, sx1, ss], axis=-1)        # (R, 3)
+            out["oaccb"] = st["oaccb"] + jnp.where(
+                oh[:, :, None], upd[:, None, :], 0)
             out["n"] = n + keep.astype(jnp.int32)
         else:
             # non-emitting lanes write to column L (mode="drop" discards)
@@ -335,15 +359,23 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
     live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1) <= end_e)
     done = ~jnp.any(live)
     if emit_direct:
-        # one packed int64 matrix: [qb|qe|x0|x1|s|count|flags]
-        flags = (done.astype(jnp.int64)
-                 | (jnp.any(st["n"] > cap).astype(jnp.int64) << 1))
-        return jnp.concatenate(
-            [st["oqb"].astype(jnp.int64), st["oqe"].astype(jnp.int64),
-             st["ox0"].astype(jnp.int64), st["ox1"].astype(jnp.int64),
-             st["os"].astype(jnp.int64),
-             jnp.minimum(st["n"], cap).astype(jnp.int64)[:, None],
-             jnp.zeros((R, 1), jnp.int64) + flags], axis=1)
+        # two packed planes (a 2.5x smaller download than one int64 blob):
+        #  meta int32 (R, cap+3): [qb<<16|qe slots | count | lane_done |
+        #  flags]; big dt (R, 3*cap): [x0 | x1 | s].
+        # flags bit 0: all lanes done; bit 1: slot overflow; bits 2+: the
+        # while-iteration count (diagnostics — bench/probes read it).
+        # lane_done backs the two-phase straggler split: callers rerun
+        # just the unfinished lanes with a higher step budget.
+        flags = (done.astype(jnp.int32)
+                 | (jnp.any(st["n"] > cap).astype(jnp.int32) << 1)
+                 | (st["steps"] << 2))
+        meta = jnp.concatenate(
+            [st["oaccs"],
+             jnp.minimum(st["n"], cap)[:, None],
+             (~live).astype(jnp.int32)[:, None],
+             jnp.zeros((R, 1), jnp.int32) + flags], axis=1)
+        big = jnp.transpose(st["oaccb"], (0, 2, 1)).reshape(R, 3 * cap)
+        return meta, big
     return (st["ob"], st["ox0"], st["ox1"], st["os"], st["oval"], done)
 
 
@@ -411,11 +443,14 @@ def compact_starts_packed(b, x0, x1, s, valid, start_e, end_e, mid, done,
 
 @jax.jit
 def _pack_r3(n3, qb3, qe3, ox0, ox1, os3):
-    """strategy1 outputs as one int64 matrix (single download)."""
-    return jnp.concatenate(
-        [qb3.astype(jnp.int64), qe3.astype(jnp.int64),
-         ox0.astype(jnp.int64), ox1.astype(jnp.int64),
-         os3.astype(jnp.int64), n3.astype(jnp.int64)[:, None]], axis=1)
+    """strategy1 outputs as (meta int32, big dt) — same split as the
+    two-pointer machine: the tunnel download channel is the collect's
+    bottleneck (~12 MB/s measured), so qb<<16|qe ride one int32 plane."""
+    meta = jnp.concatenate(
+        [(qb3.astype(jnp.int32) << 16) | qe3.astype(jnp.int32),
+         n3.astype(jnp.int32)[:, None]], axis=1)
+    big = jnp.concatenate([ox0, ox1, os3], axis=1)
+    return meta, big
 
 
 @functools.partial(jax.jit, static_argnames=("L", "min_len", "cap"))
@@ -556,9 +591,64 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
 
     _t = _time.time()
     CAP1 = 32
+
+    def _twophase_finish(pk, cap, start_e, end_e, min_intv, mid, bwd_init,
+                         full_steps, read_rows=None):
+        """Straggler split for the two-pointer machine: the while loop
+        bills every lane for the WORST lane's trip count (measured: r2's
+        max lane ran 2352 steps while the median needs ~300, so 80% of
+        kernel time served stragglers). Phase A (already dispatched, small
+        step budget) resolves typical lanes; the few unfinished lanes are
+        rerun from scratch at a narrow width with the full budget and
+        their rows spliced in. Returns ((meta, big), flags&3) — flags != 1
+        sends the caller down the exhaustive fallback exactly as before."""
+        meta = np.asarray(pk[0])
+        big = np.asarray(pk[1])
+        fl = int(meta[0, -1])
+        if (fl & 2) or (fl & 1):
+            return (meta, big), fl & 3
+        undone = meta[:, cap + 1] == 0
+        idx = np.nonzero(undone)[0]
+        if SEED_TRACE:
+            print(f"[seedtrace] stragglers {len(idx)}/{meta.shape[0]}",
+                  flush=True)
+        Rs = 128
+        while Rs < len(idx):
+            Rs <<= 1
+        pad = np.zeros(Rs, np.int64)
+        sub = {k: pad.copy() for k in ("se", "ee", "mi", "md")}
+        sub["mi"] += 1
+        sub["se"][:len(idx)] = start_e[idx]
+        sub["ee"][:len(idx)] = end_e[idx]
+        sub["mi"][:len(idx)] = min_intv[idx]
+        sub["md"][:len(idx)] = mid[idx]
+        ridx = np.zeros(Rs, np.int64)
+        ridx[:len(idx)] = idx
+        rows = (read_rows if read_rows is not None else rd)[
+            jnp.asarray(ridx)]
+        pk2 = min_starts_twoptr(
+            fmd, rows, jnp.asarray(sub["se"].astype(np.int32)),
+            jnp.asarray(sub["ee"].astype(np.int32)),
+            jnp.asarray(sub["mi"]), L, max_steps=full_steps,
+            bwd_init=bwd_init, emit_direct=True, min_seed=int(min_seed),
+            cap=cap, mid=jnp.asarray(sub["md"].astype(np.int32)))
+        meta2 = np.asarray(pk2[0])
+        fl2 = int(meta2[0, -1])
+        if (fl2 & 2) or not (fl2 & 1):
+            return (meta, big), 0  # rare: punt to the exhaustive fallback
+        meta = np.array(meta)      # device downloads are read-only views
+        big = np.array(big)
+        meta[idx] = meta2[:len(idx)]
+        big[idx] = np.asarray(pk2[1])[:len(idx)]
+        return (meta, big), 1
+
     # ---- dispatch round 1 + round 3 back to back (async), then download --
+    # phase-A step budget: covers the typical lane (fwd pass + rescans of a
+    # 151 bp read) with margin; stragglers rerun narrow at 8*L
+    r1_steps_a = min(3 * L, 8 * L)
     pk1 = min_starts_twoptr(fmd, rd, jnp.zeros(R, np.int32),
                             jnp.asarray(lens), jnp.ones(R, np.int64), L,
+                            max_steps=r1_steps_a,
                             emit_direct=True, min_seed=int(min_seed),
                             cap=CAP1, mid=jnp.full(R, L + 2, np.int32))
     if opt.max_mem_intv > 0:
@@ -588,9 +678,21 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
                       ei.astype(np.int64) + 1], axis=1)
         return ri, m
 
-    pk1h = np.asarray(pk1)                 # ONE sync for round 1
+    (meta1, big1), flags1 = _twophase_finish(
+        pk1, CAP1, np.zeros(R, np.int64), lens.astype(np.int64),
+        np.ones(R, np.int64), np.full(R, L + 2, np.int64), False, 8 * L)
     _t = _strace("r1 pack dl", _t)
-    flags1 = int(pk1h[0, -1])
+    if r3 is not None:
+        # start round 3's download now so it rides the link while round
+        # 2's kernel computes (the downloads are the collect bottleneck)
+        pk3 = _pack_r3(*r3)
+        try:
+            for a in pk3:
+                a.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - backend without async copy
+            pass
+    else:
+        pk3 = None
     if flags1 != 1:
         # step cap blown or slot overflow (rare): exhaustive per-(read, e)
         # kernel + full-plane host emission (identical function)
@@ -610,14 +712,15 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
                              lens.astype(np.int64),
                              np.full(R, L + 2, np.int64))
     else:
-        cnt1 = pk1h[:, 5 * CAP1].astype(np.int32)
+        cnt1 = meta1[:, CAP1]
         kmask = np.arange(CAP1, dtype=np.int32)[None, :] < cnt1[:, None]
         ri1, ki1 = np.nonzero(kmask)       # read-major, e-ascending
-        qb1 = pk1h[:, 0 * CAP1:1 * CAP1][ri1, ki1]
-        qe1 = pk1h[:, 1 * CAP1:2 * CAP1][ri1, ki1]
-        m1 = np.stack([pk1h[:, 2 * CAP1:3 * CAP1][ri1, ki1],
-                       pk1h[:, 3 * CAP1:4 * CAP1][ri1, ki1],
-                       pk1h[:, 4 * CAP1:5 * CAP1][ri1, ki1],
+        qbqe = meta1[:, :CAP1][ri1, ki1].astype(np.int64)
+        qb1 = qbqe >> 16
+        qe1 = qbqe & 0xFFFF
+        m1 = np.stack([big1[:, 0 * CAP1:1 * CAP1][ri1, ki1].astype(np.int64),
+                       big1[:, 1 * CAP1:2 * CAP1][ri1, ki1].astype(np.int64),
+                       big1[:, 2 * CAP1:3 * CAP1][ri1, ki1].astype(np.int64),
                        qb1, qe1], axis=1)
     qb1 = m1[:, 3]
     qe1 = m1[:, 4]
@@ -643,13 +746,15 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
         r2_m[:n_r2] = r2_min
         rd2 = rd[jnp.asarray(r2_read)]
         CAP2 = 16
+        r2_steps_a = min(4 * L, 32 * L)
         pk2 = min_starts_twoptr(
             fmd, rd2, jnp.asarray(r2_start), jnp.asarray(r2_end),
-            jnp.asarray(r2_m), L, max_steps=32 * L, bwd_init=True,
+            jnp.asarray(r2_m), L, max_steps=r2_steps_a, bwd_init=True,
             emit_direct=True, min_seed=int(min_seed), cap=CAP2,
             mid=jnp.asarray(r2_start))
-        pk2h = np.asarray(pk2)             # ONE sync for round 2
-        flags2 = int(pk2h[0, -1])
+        (meta2, big2), flags2 = _twophase_finish(
+            pk2, CAP2, r2_start.astype(np.int64), r2_end.astype(np.int64),
+            r2_m, r2_start.astype(np.int64), True, 32 * L, read_rows=rd2)
         if SEED_TRACE:
             print(f"[seedtrace] r2 lanes={n_r2} flags={flags2}",
                   flush=True)
@@ -686,17 +791,19 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
                 r2_mid.astype(np.int64))
             ri2 = r2_reads[rj2].astype(np.int64)
         else:
-            cnt2 = pk2h[:n_r2, 5 * CAP2].astype(np.int32)
+            cnt2 = meta2[:n_r2, CAP2]
             kmask2 = (np.arange(CAP2, dtype=np.int32)[None, :]
                       < cnt2[:, None])
             rj2, kj2 = np.nonzero(kmask2)  # request-major, e-ascending
-            p2 = pk2h[:n_r2]
-            qb2 = p2[:, 0 * CAP2:1 * CAP2][rj2, kj2]
-            qe2 = p2[:, 1 * CAP2:2 * CAP2][rj2, kj2]
-            m2 = np.stack([p2[:, 2 * CAP2:3 * CAP2][rj2, kj2],
-                           p2[:, 3 * CAP2:4 * CAP2][rj2, kj2],
-                           p2[:, 4 * CAP2:5 * CAP2][rj2, kj2],
-                           qb2, qe2], axis=1)
+            qbqe2 = meta2[:n_r2, :CAP2][rj2, kj2].astype(np.int64)
+            b2 = big2[:n_r2]
+            m2 = np.stack([b2[:, 0 * CAP2:1 * CAP2][rj2, kj2].astype(
+                               np.int64),
+                           b2[:, 1 * CAP2:2 * CAP2][rj2, kj2].astype(
+                               np.int64),
+                           b2[:, 2 * CAP2:3 * CAP2][rj2, kj2].astype(
+                               np.int64),
+                           qbqe2 >> 16, qbqe2 & 0xFFFF], axis=1)
             ri2 = r2_reads[rj2].astype(np.int64)
     else:
         m2 = np.zeros((0, 5), np.int64)
@@ -704,15 +811,16 @@ def collect_seeds_arrays_device(fmd: DeviceFMIndex, fm,
 
     _t = _strace("r2", _t)
     # ---- round 3: forward-greedy walker ----------------------------------
-    if r3 is not None:
-        pk3h = np.asarray(_pack_r3(*r3))   # ONE sync for round 3
-        C3 = (pk3h.shape[1] - 1) // 5
-        n3 = pk3h[:, 5 * C3]
-        qb3 = pk3h[:, 0 * C3:1 * C3]
-        qe3 = pk3h[:, 1 * C3:2 * C3]
-        ox0 = pk3h[:, 2 * C3:3 * C3]
-        ox1 = pk3h[:, 3 * C3:4 * C3]
-        os3 = pk3h[:, 4 * C3:5 * C3]
+    if pk3 is not None:
+        meta3 = np.asarray(pk3[0])         # sync for round 3 (pre-fetched)
+        big3 = np.asarray(pk3[1]).astype(np.int64)
+        C3 = meta3.shape[1] - 1
+        n3 = meta3[:, C3].astype(np.int64)
+        qb3 = (meta3[:, :C3] >> 16).astype(np.int64)
+        qe3 = (meta3[:, :C3] & 0xFFFF).astype(np.int64)
+        ox0 = big3[:, 0 * C3:1 * C3]
+        ox1 = big3[:, 1 * C3:2 * C3]
+        os3 = big3[:, 2 * C3:3 * C3]
         k3 = np.arange(C3, dtype=np.int64)[None, :]
         emit3 = (k3 < n3[:, None]) & (os3 > 0)
         ri3, ki3 = np.nonzero(emit3)       # read-major, k-ascending
@@ -754,7 +862,7 @@ def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
     (n, 5) int64 arrays [x0, x1, s, qb, qe] and int64 rbeg arrays in
     enumerate_occurrences order (step-sampled above max_occ).
     """
-    from ..parallel.align_step import sa_lookup_batch as sa_dev
+    from ..parallel.align_step import sa_lookup_batch_host
 
     mems = collect_seeds_arrays_device(dfm, fm, reads, opt)
     _t = _time.time()
@@ -773,14 +881,8 @@ def collect_seeds_rbegs_device(dfm: DeviceFMIndex, dg, fm,
               - np.repeat(starts, cnt))
     rows_arr = np.repeat(x0v, cnt) + within * np.repeat(step, cnt)
     if total:
-        # pad the SA-walk batch to pow2 (row 0 is always a valid cheap walk)
-        npad = 128
-        while npad < total:
-            npad <<= 1
-        rarr = np.zeros(npad, np.int64)
-        rarr[:total] = rows_arr
         _t = _strace("rbeg schedule", _t)
-        out = np.asarray(sa_dev(dg, jnp.asarray(rarr)))[:total]
+        out = sa_lookup_batch_host(dg, fm, rows_arr)
         _t = _strace("sa walk", _t)
     else:
         out = np.zeros(0, np.int64)

@@ -82,6 +82,77 @@ def sa_lookup_batch(g: DeviceGenome, k: jnp.ndarray,
     return g.sa_samples[(k // g.sa_intv).astype(jnp.int32)] + steps
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def sa_walk_chunk(g: DeviceGenome, k: jnp.ndarray, steps: jnp.ndarray,
+                  done: jnp.ndarray, max_steps: int):
+    """One bounded stretch of the LF walk; resumable. Returns (k, steps,
+    done) packed so stragglers can continue at a narrower width."""
+    fmd = g.fmd
+
+    def cond(state):
+        _, _, done, it = state
+        return (~jnp.all(done)) & (it < max_steps)
+
+    def body(state):
+        k, steps, done, it = state
+        lf = lf_batch(fmd, k)
+        lf = jnp.where(k == fmd.primary, 0, lf)
+        nk = jnp.where(done, k, lf)
+        nsteps = jnp.where(done, steps, steps + 1)
+        ndone = done | ((nk % g.sa_intv) == 0)
+        return nk, nsteps, ndone, it + 1
+
+    k, steps, done, _ = jax.lax.while_loop(
+        cond, body, (k, steps, done | ((k % g.sa_intv) == 0),
+                     jnp.int32(0)))
+    return jnp.stack([k, steps, done.astype(k.dtype)], axis=0)
+
+
+def sa_lookup_batch_host(g: DeviceGenome, fm, rows: np.ndarray,
+                         phase_steps: int = 64) -> np.ndarray:
+    """Host-orchestrated two-phase SA walk (collect path).
+
+    The while-loop trip count is the MAX walk length over all lanes —
+    P(len > t) ~ (1 - 1/sa_intv)^t per lane, so at 64k lanes the longest
+    walk runs ~350 LF steps while the mean is ~sa_intv: ~90% of the
+    full-width kernel time serves <1% of lanes. Phase A walks everyone
+    ``phase_steps``; stragglers continue at a narrow width; the final
+    sample add happens on host from the mmapped sa_samples."""
+    n = len(rows)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    npad = 128
+    while npad < n:
+        npad <<= 1
+    dt = np.int32 if int(fm.seq_len) + 2 < 2**31 else np.int64
+    karr = np.zeros(npad, dt)
+    karr[:n] = rows
+    out = np.asarray(sa_walk_chunk(
+        g, jnp.asarray(karr), jnp.zeros(npad, dt),
+        jnp.zeros(npad, bool), phase_steps))
+    k, steps, done = np.array(out[0]), out[1], out[2] != 0
+    if not done.all():
+        idx = np.nonzero(~done)[0]
+        ns = 128
+        while ns < len(idx):
+            ns <<= 1
+        ksub = np.zeros(ns, dt)
+        ssub = np.zeros(ns, dt)
+        dsub = np.ones(ns, bool)
+        ksub[:len(idx)] = k[idx]
+        ssub[:len(idx)] = steps[idx]
+        dsub[:len(idx)] = False
+        out2 = np.asarray(sa_walk_chunk(
+            g, jnp.asarray(ksub), jnp.asarray(ssub), jnp.asarray(dsub),
+            512 - phase_steps))
+        k[idx] = out2[0][:len(idx)]
+        steps = np.array(steps)
+        steps[idx] = out2[1][:len(idx)]
+    sa = np.asarray(fm.sa_samples)
+    return (sa[(k[:n] // fm.sa_intv).astype(np.int64)]
+            + steps[:n].astype(np.int64))
+
+
 def fetch_window_batch(g: DeviceGenome, start: jnp.ndarray,
                        length: int) -> jnp.ndarray:
     """Gather forward-strand base codes [start, start+length) per batch item.
