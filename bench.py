@@ -149,6 +149,39 @@ def _device_available(timeout_s: float = 150.0) -> bool:
     return False
 
 
+def _start_device_server(genome: str, timeout_s: float = 1500.0):
+    """Spawn the resident priming server (parallel/device_server.py) and
+    wait for its ready file. The server holds the tunnel warmup, the
+    uploaded index, and warm kernel compiles ACROSS the CLI runs — the
+    per-process first-transfer stall (10-60 s measured) otherwise eats
+    entire bench runs before the device can contribute. Returns
+    (proc, socket_path) or None when the device/tunnel is unusable
+    (callers fall back to direct per-run device init)."""
+    import tempfile as _tf
+    sock = os.path.join(_tf.mkdtemp(prefix="lariat_srv_"), "dev.sock")
+    ready = sock + ".ready"
+    try:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "lariat_tpu.parallel.device_server",
+             "-genome", genome, "-socket", sock, "-ready_file", ready,
+             "-idle_timeout", "3600"],
+            env={**os.environ, "PYTHONPATH": REPO + (
+                 ":" + os.environ["PYTHONPATH"]
+                 if os.environ.get("PYTHONPATH") else "")},
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except OSError:
+        return None
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if os.path.exists(ready):
+            return proc, sock
+        if proc.poll() is not None:
+            return None
+        time.sleep(0.5)
+    proc.kill()
+    return None
+
+
 def _median_of(runs: list) -> dict:
     """Median-by-pairs_s run dict (VERDICT r2 item 7: median of >=3 warm
     runs is the reported number; the run list stays in detail)."""
@@ -207,16 +240,28 @@ def _hg38_runs(workdir: str, have_device: bool) -> dict:
     extra = ("-centromeres", cents) if os.path.exists(cents) else ()
     out["device_available"] = have_device
     for mode in (("off", "on") if have_device else ("off",)):
-        runs = []
-        errs = 0
-        for i in range(4):   # run 0 = warmup, 1..3 measured
-            r = _run_cli(fa, reads, os.path.join(
-                workdir, f"hg38_{mode}{i}"), mode, extra, threads=8,
-                timeout_s=1200 if (mode == "on" and i == 0) else 900)
-            runs.append(r)
-            errs = errs + 1 if "error" in r else 0
-            if errs >= 2:
-                break        # tunnel dead: stop burning bench budget
+        srv = None
+        if mode == "on":
+            srv = _start_device_server(fa)
+            out["device_server"] = bool(srv)
+            if srv:
+                os.environ["LARIAT_DEVICE_SOCKET"] = srv[1]
+        try:
+            runs = []
+            errs = 0
+            for i in range(4):   # run 0 = warmup, 1..3 measured
+                r = _run_cli(fa, reads, os.path.join(
+                    workdir, f"hg38_{mode}{i}"), mode, extra, threads=8,
+                    timeout_s=1200 if (mode == "on" and i == 0) else 900)
+                runs.append(r)
+                errs = errs + 1 if "error" in r else 0
+                if errs >= 2:
+                    break        # tunnel dead: stop burning bench budget
+        finally:
+            if srv:
+                os.environ.pop("LARIAT_DEVICE_SOCKET", None)
+                srv[0].kill()
+                srv[0].wait()
         key = "hg38_host_8w" if mode == "off" else "hg38_device_8w"
         out[key] = _median_of(runs[1:])
         out[key + "_runs"] = [r.get("pairs_s", 0.0) for r in runs]
@@ -323,16 +368,26 @@ def main() -> None:
     host = _median_of(host_runs[1:])
     host["runs"] = [r.get("pairs_s", 0.0) for r in host_runs]
     if have_device:
-        errs = 0
-        for i in range(4):
-            r = _run_cli(fa, reads, os.path.join(workdir, f"out_dev{i}"),
-                         "on", timeout_s=1200 if i == 0 else 600)
-            dev_runs.append(r)
-            errs = errs + 1 if "error" in r else 0
-            if errs >= 2:
-                break
+        srv = _start_device_server(fa, timeout_s=600)
+        if srv:
+            os.environ["LARIAT_DEVICE_SOCKET"] = srv[1]
+        try:
+            errs = 0
+            for i in range(4):
+                r = _run_cli(fa, reads, os.path.join(workdir, f"out_dev{i}"),
+                             "on", timeout_s=1200 if i == 0 else 600)
+                dev_runs.append(r)
+                errs = errs + 1 if "error" in r else 0
+                if errs >= 2:
+                    break
+        finally:
+            if srv:
+                os.environ.pop("LARIAT_DEVICE_SOCKET", None)
+                srv[0].kill()
+                srv[0].wait()
         dev = _median_of(dev_runs[1:])
         dev["runs"] = [r.get("pairs_s", 0.0) for r in dev_runs]
+        dev["server"] = bool(srv)
     else:
         dev = {"error": "device unavailable"}
 

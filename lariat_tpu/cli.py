@@ -202,6 +202,22 @@ def run(argv=None):
                                 position_chunk_size=args.position_chunk_size)
         device_engine = None
         if args.use_device != "off":
+            # a resident device server (parallel/device_server.py) holds
+            # the tunnel warmup, the uploaded index, and the compiled
+            # kernels across CLI runs — connect to it first: priming then
+            # starts at t=0 instead of after a 10-60 s per-process
+            # first-transfer warmup
+            from .parallel.device_server import DeviceServerClient
+            cli_srv = DeviceServerClient.connect(
+                args.genome, path=os.environ.get("LARIAT_DEVICE_SOCKET")
+                or None)
+            if cli_srv is not None and (
+                    getattr(cli_srv, "backend", "cpu") != "cpu"
+                    or os.environ.get("LARIAT_DEVICE_SERVER_CPU_OK") == "1"):
+                device_engine = cli_srv
+                print(f"device priming via server ({cli_srv.path}, "
+                      f"backend {cli_srv.backend})")
+        if args.use_device != "off" and device_engine is None:
             try:
                 import jax
                 # a cpu-pinned environment means no device: checking via
@@ -309,7 +325,18 @@ def run(argv=None):
 
             futs = deque()   # (future, tagged) pairs
 
+            # priming via the resident server: FIXED batch size. The
+            # tunnel's compile service is outside the persistent cache, so
+            # every distinct batch shape costs minutes of compile; the
+            # server prewarms exactly this size and the router never sends
+            # another (remainders host-route).
+            fixed_batch = (int(os.environ.get("LARIAT_PRIME_BATCH", "4096"))
+                           if getattr(device_engine, "path", None)
+                           else None)
+
             def batch_target() -> int:
+                if fixed_batch:
+                    return fixed_batch
                 # size prime batches so one wave is ~2 s of device work:
                 # a slow device (or cold tunnel) then holds only a short
                 # tail at EOF and can never gate the run; a fast device
@@ -347,11 +374,36 @@ def run(argv=None):
                             yield t
                             continue
                         device_engine.wait_warmup()
+                    npairs = len(item[0])
+                    if (fixed_batch and pending
+                            and pending + npairs > fixed_batch):
+                        # fixed-shape mode: never let a batch overshoot
+                        # the prewarmed size (the pow2 padding would jump
+                        # to a shape the server has not compiled). Batches
+                        # in (fixed/2, fixed] pairs share the prewarmed
+                        # read-count bucket; anything smaller host-routes.
+                        if (pending <= fixed_batch // 2
+                                or sum(1 for f, _ in futs
+                                       if not f.done()) >= n_prime):
+                            for s, it in buf:
+                                feed_stats["host_pairs"] += len(it[0])
+                                yield (s, it)
+                        else:
+                            futs.append((ex.submit(prime_tagged, buf),
+                                         buf))
+                        buf = []
+                        pending = 0
+                        yield from drain(block=False)
                     buf.append(t)
-                    pending += len(item[0])
+                    pending += npairs
                     if pending >= batch_target():
-                        if sum(1 for f, _ in futs
-                               if not f.done()) >= n_prime:
+                        if (fixed_batch and pending > fixed_batch):
+                            # single oversized barcode group: host route
+                            for s, it in buf:
+                                feed_stats["host_pairs"] += len(it[0])
+                                yield (s, it)
+                        elif sum(1 for f, _ in futs
+                                 if not f.done()) >= n_prime:
                             # priming saturated: host route, immediately
                             for s, it in buf:
                                 feed_stats["host_pairs"] += len(it[0])
@@ -363,10 +415,14 @@ def run(argv=None):
                         pending = 0
                         yield from drain(block=False)
                 # EOF: the device must never gate the tail. Submit the
-                # remainder only if a prime slot is free; cancel queued
-                # (not yet running) futures and host-route their batches.
+                # remainder only if a prime slot is free (and, in fixed-
+                # shape mode, only at the exact prewarmed size — an odd
+                # remainder would compile a fresh shape for one batch);
+                # cancel queued futures and host-route their batches.
                 if buf:
-                    if sum(1 for f, _ in futs if not f.done()) >= n_prime:
+                    if ((fixed_batch and pending <= fixed_batch // 2)
+                            or sum(1 for f, _ in futs
+                                   if not f.done()) >= n_prime):
                         for s, it in buf:
                             feed_stats["host_pairs"] += len(it[0])
                             yield (s, it)
