@@ -324,6 +324,33 @@ def run(argv=None):
                 return [(s, p) for (s, _), p in zip(tagged, primed)]
 
             futs = deque()   # (future, tagged) pairs
+            dorm = {"first_submit": None, "off": False}
+
+            def dormant() -> bool:
+                """Give up on priming for the rest of the run when the
+                device demonstrably cannot pull its weight: it must add
+                >= LARIAT_PRIME_MIN_FRAC (default 15%) on top of the host
+                pool's concurrent throughput, or never complete a batch
+                within 45 s. A dormant device costs nothing; a struggling
+                one costs contention, reorder latency, and the EOF tail."""
+                if dorm["off"]:
+                    return True
+                r = rate_box["pairs_s"]
+                el = time.time() - t0
+                if r is None:
+                    fs = dorm["first_submit"]
+                    if fs is not None and time.time() - fs > 45.0:
+                        dorm["off"] = True
+                else:
+                    host_rate = feed_stats["host_pairs"] / max(el, 1e-3)
+                    frac = float(os.environ.get("LARIAT_PRIME_MIN_FRAC",
+                                                "0.15"))
+                    if r < frac * host_rate:
+                        dorm["off"] = True
+                if dorm["off"]:
+                    print(f"device priming dormant (measured "
+                          f"{r or 0:.0f} pairs/s)", flush=True)
+                return dorm["off"]
 
             # priming via the resident server: FIXED batch size. The
             # tunnel's compile service is outside the persistent cache, so
@@ -382,13 +409,15 @@ def run(argv=None):
                         # to a shape the server has not compiled). Batches
                         # in (fixed/2, fixed] pairs share the prewarmed
                         # read-count bucket; anything smaller host-routes.
-                        if (pending <= fixed_batch // 2
+                        if (pending <= fixed_batch // 2 or dormant()
                                 or sum(1 for f, _ in futs
                                        if not f.done()) >= n_prime):
                             for s, it in buf:
                                 feed_stats["host_pairs"] += len(it[0])
                                 yield (s, it)
                         else:
+                            if dorm["first_submit"] is None:
+                                dorm["first_submit"] = time.time()
                             futs.append((ex.submit(prime_tagged, buf),
                                          buf))
                         buf = []
@@ -402,13 +431,16 @@ def run(argv=None):
                             for s, it in buf:
                                 feed_stats["host_pairs"] += len(it[0])
                                 yield (s, it)
-                        elif sum(1 for f, _ in futs
-                                 if not f.done()) >= n_prime:
-                            # priming saturated: host route, immediately
+                        elif dormant() or sum(
+                                1 for f, _ in futs
+                                if not f.done()) >= n_prime:
+                            # priming saturated/dormant: host route now
                             for s, it in buf:
                                 feed_stats["host_pairs"] += len(it[0])
                                 yield (s, it)
                         else:
+                            if dorm["first_submit"] is None:
+                                dorm["first_submit"] = time.time()
                             futs.append((ex.submit(prime_tagged, buf),
                                          buf))
                         buf = []
@@ -445,8 +477,17 @@ def run(argv=None):
                 # gate the run tail (VERDICT r4 item 2 / r5).
                 if futs:
                     from concurrent.futures import wait as _fwait
+                    # rate-aware: an in-flight batch at the measured rate
+                    # is worth waiting ~1.5 batch-times for; an unmeasured
+                    # (never-completed-a-batch) device gets seconds only.
+                    # Bounded by a fraction of the elapsed run so the tail
+                    # wait can never dominate a short run's wall time.
+                    r = rate_box["pairs_s"]
+                    auto = (1.5 * batch_target() / r) if r else 5.0
+                    elapsed = time.time() - t0
                     grace = float(os.environ.get(
-                        "LARIAT_PRIME_TAIL_GRACE", "5"))
+                        "LARIAT_PRIME_TAIL_GRACE", "0")) or min(
+                            max(5.0, auto), max(5.0, 0.15 * elapsed), 30.0)
                     _fwait([f for f, _ in futs], timeout=grace)
                     if any(not f.done() for f, _ in futs):
                         device_engine.abort_prime = True

@@ -43,6 +43,11 @@ def reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+_BODY = struct.Struct("<iiBBHHHiiii")
+_LEN = struct.Struct("<I")
+_INT = struct.Struct("<i")
+
+
 class BAMRecord:
     """A fully-specified BAM alignment record ready for packing."""
 
@@ -85,11 +90,11 @@ class BAMRecord:
         else:
             nyb = b""
         qual_b = bytes(self.qual) if self.qual else b"\xff" * l_seq
-        body = struct.pack(
-            "<iiBBHHHiiii", self.ref_id, self.pos, len(name_b), self.mapq,
+        body = _BODY.pack(
+            self.ref_id, self.pos, len(name_b), self.mapq,
             bin_, n_cigar, self.flag, l_seq, self.mate_ref_id, self.mate_pos,
             self.tlen) + name_b + cigar_b + nyb + qual_b + self.aux
-        return struct.pack("<I", len(body)) + body
+        return _LEN.pack(len(body)) + body
 
 
 def ref_len_from_cigar(cigar: Sequence[Tuple[int, int]]) -> int:
@@ -108,7 +113,7 @@ def aux_int(tag: bytes, value: int) -> bytes:
     v = int(value) & 0xffffffff
     if v >= 1 << 31:
         v -= 1 << 32
-    return tag + b"i" + struct.pack("<i", v)
+    return tag + b"i" + _INT.pack(v)
 
 
 def aux_float(tag: bytes, value: float) -> bytes:

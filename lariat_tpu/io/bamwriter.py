@@ -146,9 +146,10 @@ class LariatBAMs:
 
     def append_bams(self, aln: Alignment, primary: Alignment,
                     attach_bx: bool) -> None:
-        rec = build_record(aln, primary, attach_bx, self.tid, self.debug_tags)
-        self.barcode_sorted.write(rec)
-        self._bucket_for(aln, aln.is_unmapped()).write(rec)
+        rec = build_record(aln, primary, attach_bx, self.tid,
+                           self.debug_tags).pack()   # pack ONCE, write twice
+        self.barcode_sorted._bgzf.write(rec)
+        self._bucket_for(aln, aln.is_unmapped())._bgzf.write(rec)
 
 
 def build_record(aln: Alignment, primary: Alignment, attach_bx: bool,

@@ -117,6 +117,10 @@ def serve(genome: str, socket_path: Optional[str] = None,
     from ..align.batch_engine import BatchAlignmentEngine
 
     path = socket_path or default_socket_path(genome)
+    # scheduling: neutral priority. nice -5 lets residual compile bursts
+    # (375% CPU measured) starve the client's worker pool; nice +10 starves
+    # the server's own ms-scale wave steps behind that pool and balloons
+    # wave latency ~5x. Client workers self-deprioritize (+5) instead.
     plat = os.environ.get("JAX_PLATFORMS", "")
     cpu_pinned = bool(plat) and set(plat.split(",")) <= {"cpu"}
     if cpu_pinned:
@@ -174,6 +178,8 @@ def serve(genome: str, socket_path: Optional[str] = None,
     stop = threading.Event()
     ex = ThreadPoolExecutor(max_workers=2,
                             thread_name_prefix="lariat-serve-prime")
+    active = [0]
+    alock = threading.Lock()
 
     def handle(conn: socket.socket) -> None:
         try:
@@ -190,15 +196,31 @@ def serve(genome: str, socket_path: Optional[str] = None,
                     _send(conn, ("ok",))
                     stop.set()
                     return
+                elif kind == "abort":
+                    # a client run hit EOF with primes in flight: make them
+                    # bail at their next wave boundary so the slots are
+                    # free for the NEXT run (an abandoned 4096-pair batch
+                    # otherwise poisons both prime slots for ~10 s)
+                    with alock:
+                        if active[0] > 0:
+                            engine.abort_prime = True
+                    _send(conn, ("ok",))
                 elif kind == "prime":
                     _, recs, delta = req
                     w0 = dict(engine.wave_stats)
+                    with alock:
+                        active[0] += 1
                     try:
                         primes = ex.submit(
                             engine.prime_regions, recs, delta).result()
                     except Exception as e:  # noqa: BLE001
                         _send(conn, ("err", repr(e)))
                         continue
+                    finally:
+                        with alock:
+                            active[0] -= 1
+                            if active[0] == 0:
+                                engine.abort_prime = False
                     dw = {k: engine.wave_stats[k] - w0.get(k, 0)
                           for k in engine.wave_stats}
                     _send(conn, ("ok", primes, dw))
@@ -242,11 +264,31 @@ class DeviceServerClient:
     def __init__(self, path: str, timeout_s: float = 600.0):
         self.path = path
         self.timeout_s = timeout_s
-        self.abort_prime = False
+        self._abort = False
         self.wave_stats = {"wall": 0.0, "n": 0}
         self.dead = False
         self._local = threading.local()
         self._lock = threading.Lock()
+
+    @property
+    def abort_prime(self) -> bool:
+        return self._abort
+
+    @abort_prime.setter
+    def abort_prime(self, v: bool) -> None:
+        # the router sets this at EOF; relay it so the SERVER's in-flight
+        # primes bail between waves too (best effort, fire and forget)
+        self._abort = bool(v)
+        if v and not self.dead:
+            try:
+                c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                c.settimeout(5.0)
+                c.connect(self.path)
+                _send(c, ("abort",))
+                _recv(c)
+                c.close()
+            except OSError:
+                pass
 
     # -- connection management ------------------------------------------
     def _conn(self) -> socket.socket:
@@ -298,7 +340,12 @@ class DeviceServerClient:
             raise PrimeAborted()
         try:
             resp = self._rpc(("prime", list(recs), score_delta))
-        except (OSError, RuntimeError, pickle.PickleError, EOFError):
+        except RuntimeError as e:
+            if "PrimeAborted" in str(e):
+                raise PrimeAborted() from None   # server-side EOF abort:
+            self.dead = True                     # the connection is fine
+            raise PrimeAborted() from None
+        except (OSError, pickle.PickleError, EOFError):
             self.dead = True
             try:
                 self._local.conn.close()

@@ -55,6 +55,15 @@ def _init_worker() -> None:
     # thread fan-out would oversubscribe (workers x N_THREADS threads)
     from ..index import native_ops
     native_ops.N_THREADS = 1
+    # workers are the bulk CPU consumers; the main process (reader/feeder/
+    # writer pump) and the resident device server are latency-sensitive and
+    # tiny — let them preempt (a starved server turned ~30 ms device waves
+    # into multi-second ones under a full worker pool)
+    try:
+        import os as _os
+        _os.nice(5)
+    except OSError:
+        pass
     # RFA rows: the numpy tensor path stays the worker default. The jit
     # twin (LARIAT_RFA_JIT=1) was measured 10x slower end to end on the
     # toy corpus (rfa wall 0.31 s numpy vs 3.01 s jit, 5 workers): the
