@@ -175,3 +175,53 @@ def test_twoptr_low_complexity_and_fallback(dup_genome):  # noqa: F811
         np.testing.assert_array_equal(
             np.where(v2, np.asarray(a), 0), np.where(v2, qm, 0),
             err_msg=name)
+
+
+def test_two_phase_straggler_split(dup_genome):  # noqa: F811
+    """Tiny phase-A budgets force the straggler rerun for (almost) every
+    lane; the spliced result must still match the native C++ exactly."""
+    fm, genome = dup_genome
+    opt = AlignerConfig()
+    rng = np.random.default_rng(123)
+    reads = _messy_reads(genome, rng, n=40)
+    want = native_ops.collect_seeds_rbegs_batch(fm, reads, opt)
+    if want is None:
+        pytest.skip("native seeding unavailable")
+    dfm = fm_batch.DeviceFMIndex.from_host(fm)
+    import lariat_tpu.ops.smem_device as sd
+    src = sd.collect_seeds_arrays_device.__globals__  # same module dict
+    # shrink the phase-A budgets via the module-level expressions: patch
+    # min_starts_twoptr to clamp max_steps on the FIRST (phase A) call of
+    # each round, leaving reruns at full budget
+    orig = sd.min_starts_twoptr
+    calls = {"n": 0}
+
+    def clamped(*a, **kw):
+        calls["n"] += 1
+        # phase-A calls pass the r*_steps_a budgets (3L/4L); shrink those
+        if kw.get("max_steps", 0) in (3 * 192, 4 * 192):
+            kw["max_steps"] = 24      # force stragglers
+        return orig(*a, **kw)
+
+    sd.min_starts_twoptr = clamped
+    try:
+        got = sd.collect_seeds_device(dfm, fm, reads, opt)
+    finally:
+        sd.min_starts_twoptr = orig
+    mems_native, _ = want
+    for i, (g, w) in enumerate(zip(got, mems_native)):
+        w_rows = [tuple(int(v) for v in row) for row in np.asarray(w)]
+        assert g == w_rows, f"read {i}"
+    assert calls["n"] >= 3   # phase A x2 + at least one straggler rerun
+
+
+def test_sa_lookup_batch_host_matches_scalar(dup_genome):  # noqa: F811
+    fm, _ = dup_genome
+    from lariat_tpu.parallel.align_step import (DeviceGenome,
+                                                sa_lookup_batch_host)
+    dg = DeviceGenome.from_host(fm)
+    rng = np.random.default_rng(5)
+    rows = rng.integers(0, fm.seq_len, 700).astype(np.int64)
+    got = sa_lookup_batch_host(dg, fm, rows, phase_steps=4)  # force phase B
+    want = np.array([fm.sa_lookup(int(r)) for r in rows], np.int64)
+    np.testing.assert_array_equal(got, want)
