@@ -357,7 +357,7 @@ def run(argv=None):
             # every distinct batch shape costs minutes of compile; the
             # server prewarms exactly this size and the router never sends
             # another (remainders host-route).
-            fixed_batch = (int(os.environ.get("LARIAT_PRIME_BATCH", "4096"))
+            fixed_batch = (int(os.environ.get("LARIAT_PRIME_BATCH", "1024"))
                            if getattr(device_engine, "path", None)
                            else None)
 
@@ -487,7 +487,7 @@ def run(argv=None):
                     elapsed = time.time() - t0
                     grace = float(os.environ.get(
                         "LARIAT_PRIME_TAIL_GRACE", "0")) or min(
-                            max(5.0, auto), max(5.0, 0.15 * elapsed), 30.0)
+                            max(2.0, auto), max(2.0, 0.15 * elapsed), 30.0)
                     _fwait([f for f, _ in futs], timeout=grace)
                     if any(not f.done() for f, _ in futs):
                         device_engine.abort_prime = True

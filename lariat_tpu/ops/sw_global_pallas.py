@@ -97,7 +97,16 @@ def _global_kernel(q_ref, t_ref, params_ref, score_ref, z_ref,
         f_open = M - gapoe_ins
         d = d | (jnp.where(f_ext > f_open, jnp.int32(2), z) << 4)
         d = jnp.where(band, d, z)
-        z_ref[i32] = d.astype(jnp.uint8)
+        # direction bytes for 4 consecutive rows pack into ONE int32 plane:
+        # a per-row uint8 store lowers to a read-modify-write of packed
+        # 8-bit tiles and cost ~170x the DP math (311 ms vs ~3 ms of
+        # vector work per 2048x192x192 wave, measured); the int32 store is
+        # a native tile write. Row i lands in byte (i & 3) of z_ref[i>>2];
+        # intermediate stores of a partially-filled word are simply
+        # overwritten by the final one.
+        sub_i = i32 & jnp.int32(3)
+        acc = jnp.where(sub_i == 0, d, carry | (d << (8 * sub_i)))
+        z_ref[i32 >> 2] = acc
         # write-backs
         h_shift = jnp.concatenate([jnp.zeros((1, T), jnp.int32), h], axis=0)
         wmask = (jid1 > beg) & (jid1 <= end)
@@ -111,9 +120,10 @@ def _global_kernel(q_ref, t_ref, params_ref, score_ref, z_ref,
         ehe_new = jnp.where(jid1 == end, negv, ehe_new)
         ehh_ref[:] = jnp.where(in_row, ehh_new, ehh_ref[:])
         ehe_ref[:] = jnp.where(in_row, ehe_new, ehe_ref[:])
-        return carry
+        return acc
 
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(Lt), row_step, jnp.int32(0))
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(Lt), row_step,
+                      jnp.zeros((Lq, T), jnp.int32))
     # score = eh_h[qlen] (invariant: holds H(tlen-1, qlen-1))
     lastmask = (jid1 == qlen).astype(jnp.int32)
     score = jnp.max(jnp.where(lastmask != 0, ehh_ref[:], negv), axis=0,
@@ -157,12 +167,13 @@ def global_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
                                e_del=e_del, o_ins=o_ins, e_ins=e_ins,
                                match_sc=match_sc, mismatch_sc=mismatch_sc,
                                n_sc=n_sc)
+    Lt4 = (Lt + 3) // 4
     call = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((8, tile_b), jnp.int32),
-                   jax.ShapeDtypeStruct((Lt, Lq, tile_b), jnp.uint8)],
+                   jax.ShapeDtypeStruct((Lt4, Lq, tile_b), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
             pltpu.VMEM((Lq + 1, tile_b), jnp.int32),
@@ -171,11 +182,16 @@ def global_batch_pallas(query: jnp.ndarray, qlen: jnp.ndarray,
     )
     scores = []
     zs = []
+    shifts = (jnp.arange(4, dtype=jnp.int32) * 8)[None, :, None, None]
     for c0 in range(0, Bp, tile_b):
         sl = slice(c0, c0 + tile_b)
-        s8, zz = call(query[sl].T, target[sl].T, params[sl].T)
+        s8, z32 = call(query[sl].T, target[sl].T, params[sl].T)
         scores.append(s8[0])
-        zs.append(zz)
+        # unpack the 4-rows-per-int32 planes back to per-row bytes in XLA
+        # (vector shifts — the kernel-side uint8 store this replaces was
+        # the whole kernel's bottleneck)
+        zb = ((z32[:, None] >> shifts) & 0xFF).astype(jnp.uint8)
+        zs.append(zb.reshape(Lt4 * 4, Lq, tile_b)[:Lt])
     score = jnp.concatenate(scores)[:B]
     # (n_chunks, Lt, Lq, tile) -> (B, Lt, Lq)
     z = jnp.concatenate([zz.transpose(2, 0, 1) for zz in zs], axis=0)[:B]

@@ -78,7 +78,7 @@ def _prewarm(engine, fm, pairs: int = 0) -> None:
 
     from ..io.fastq import FastQRecord
 
-    pairs = pairs or int(os.environ.get("LARIAT_PRIME_BATCH", "4096"))
+    pairs = pairs or int(os.environ.get("LARIAT_PRIME_BATCH", "1024"))
     rng = np.random.default_rng(99)
     lut = np.frombuffer(b"ACGT", np.uint8)
     comp = bytes.maketrans(b"ACGT", b"TGCA")
