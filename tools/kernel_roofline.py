@@ -132,8 +132,12 @@ def main() -> None:
     wg = jax.device_put(np.full(Bg, 20, np.int32))
     S = 192 + 192
 
+    # PRODUCTION config (batch_engine.py:1026-1033): plain DP + unpacked-z
+    # device walk. NOT global_batch_pallas_packed — its _pack_band gather
+    # costs ~10x the DP and no shipped path runs it (the r4 0.1% SOL was
+    # this dead config).
     def run_glob_dp():
-        return sw_global_pallas.global_batch_pallas_packed(
+        return sw_global_pallas.global_batch_pallas(
             qg, qlg, tg, tlg, mat, wg, match_sc=1, mismatch_sc=-4,
             o_del=6, e_del=1, o_ins=6, e_ins=1)
 
@@ -141,12 +145,12 @@ def main() -> None:
 
     def run_tb():
         return sw_global_pallas.traceback_ops_fused(
-            res_g.z, qlg, tlg, wg, res_g.score, S=S)
+            res_g.z, qlg, tlg, wg, res_g.score, S=S, packed_layout=False)
 
     def run_glob():
         res = run_glob_dp()
         return sw_global_pallas.traceback_ops_fused(
-            res.z, qlg, tlg, wg, res.score, S=S)
+            res.z, qlg, tlg, wg, res.score, S=S, packed_layout=False)
 
     dt_dp = _time_fn(run_glob_dp)
     dt_tb = _time_fn(run_tb)
