@@ -44,6 +44,11 @@ import os as _os
 import time as _time
 
 SEED_TRACE = _os.environ.get("LARIAT_SEED_TRACE") == "1"
+# transitions per while iteration in min_starts_twoptr (see body_u).
+# 2 measured best on v5e over the tunnel; 4/8 were flat-to-worse (the
+# one-hot emission accumulates scale with the unroll and cancel the
+# saved cond/carry overhead).
+UNROLL = int(_os.environ.get("LARIAT_SMEM_UNROLL", "2"))
 
 
 def _strace(tag, t0):
@@ -348,14 +353,17 @@ def min_starts_twoptr(fmd: DeviceFMIndex, reads: jnp.ndarray,
                                                         mode="drop")
         return out
 
-    def body2(st):
-        # 2 transitions per while iteration: a finished lane's transition
-        # is the identity, so semantics are unchanged while the loop's
-        # sequential overhead halves (the cond check + carry shuffle cost
-        # as much as a small step body on this backend)
-        return body(body(st))
+    def body_u(st):
+        # UNROLL transitions per while iteration: a finished lane's
+        # transition is the identity, so semantics are unchanged while the
+        # loop's sequential overhead divides by UNROLL (the cond check +
+        # carry shuffle cost as much as a small step body on this backend;
+        # measured on v5e: 2->4 unroll cut r1 wall ~1.6x, 8 was flat)
+        for _ in range(UNROLL):
+            st = body(st)
+        return st
 
-    st = jax.lax.while_loop(cond, body2, state)
+    st = jax.lax.while_loop(cond, body_u, state)
     live = (jnp.where(st["bwd"], st["etgt"], st["e"] + 1) <= end_e)
     done = ~jnp.any(live)
     if emit_direct:
