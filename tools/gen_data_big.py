@@ -64,5 +64,63 @@ def main() -> None:
     print("data_big complete", flush=True)
 
 
+def _acquire_lock() -> bool:
+    """data_big/.gen.lock holds the generator's PID. One generator at a
+    time: the hg38 index build peaks ~124 GB RSS on a 125 GB host, so a
+    second concurrent build (e.g. bench.py regenerating while a manual
+    run is in flight) OOMs both. Stale locks (dead PID) are reclaimed."""
+    os.makedirs(DB, exist_ok=True)
+    lock = os.path.join(DB, ".gen.lock")
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                pid = int(open(lock).read().strip() or "0")
+            except (OSError, ValueError):
+                pid = 0
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    return False          # live generator owns the lock
+                except ProcessLookupError:
+                    pass
+            try:
+                os.unlink(lock)           # stale: reclaim
+            except FileNotFoundError:
+                pass
+
+
+def wait_for_generator(timeout_s: float = 7200.0) -> bool:
+    """True once no live generator holds the lock (polls 5 s)."""
+    lock = os.path.join(DB, ".gen.lock")
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        try:
+            pid = int(open(lock).read().strip() or "0")
+        except (OSError, ValueError):
+            return True
+        try:
+            os.kill(pid, 0)
+        except (ProcessLookupError, ValueError):
+            return True
+        time.sleep(5)
+    return False
+
+
 if __name__ == "__main__":
-    main()
+    if not _acquire_lock():
+        print("another generator is live (data_big/.gen.lock); waiting",
+              flush=True)
+        wait_for_generator()
+        sys.exit(0)
+    try:
+        main()
+    finally:
+        try:
+            os.unlink(os.path.join(DB, ".gen.lock"))
+        except FileNotFoundError:
+            pass
